@@ -1,0 +1,202 @@
+"""Bin-delta losses: classification term + weighted regression term.
+
+Pure-function re-design of binDeltaLosses.py. All variants share the shape
+L = Lc(bin scores) + alpha * Lr(pose regression); they differ in what Lc and
+Lr are and how the predicted pose is decoded from (scores, residual) and the
+dictionary. Per-cluster expectation losses are batched einsums — no Python
+loops over clusters (the reference loops and stacks per-cluster losses,
+binDeltaLosses.py:124-129).
+
+Decode semantics: `centers[argmax(scores)] + residual`. The argmax selection
+carries no gradient (matching torch's index_select-of-argmax); gradients flow
+through the residual and, in geodesic variants, through the decoded pose into
+the regression loss.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from multi_modal_regression_tpu.geometry.so3 import exp_so3
+from multi_modal_regression_tpu.losses.primitives import (
+    cross_entropy,
+    geodesic_rotmat,
+    kl_div_mean,
+    mse,
+)
+
+LossFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def decode_bin_delta(
+    scores: jax.Array, residual: jax.Array, centers: jax.Array
+) -> jax.Array:
+    """Predicted pose = dictionary atom at the argmax bin + residual."""
+    ind = jnp.argmax(scores, axis=-1)
+    return centers[ind] + residual
+
+
+def simple_loss(
+    scores: jax.Array,
+    residual: jax.Array,
+    bin_true: jax.Array,
+    res_true: jax.Array,
+    alpha: float = 1.0,
+) -> jax.Array:
+    """CE on bins + alpha * MSE on the raw residual (SimpleLoss / loss_m0)."""
+    return cross_entropy(scores, bin_true) + alpha * mse(residual, res_true)
+
+
+def bd_loss(
+    scores: jax.Array,
+    residual: jax.Array,
+    bin_true: jax.Array,
+    y_true: jax.Array,
+    centers: jax.Array,
+    alpha: float = 1.0,
+    regression_loss: LossFn = mse,
+) -> jax.Array:
+    """CE on bins + alpha * regression loss on the decoded pose.
+
+    regression_loss = mse      -> EuclideanBD    (GeodesicLoss w/ default mse)
+                    = l1       -> LaplacianBD
+                    = geodesic_aa   -> GeodesicBD (axis-angle)
+                    = geodesic_quat -> GeodesicBD (quaternion)
+    """
+    lc = cross_entropy(scores, bin_true)
+    lr = regression_loss(decode_bin_delta(scores, residual, centers), y_true)
+    return lc + alpha * lr
+
+
+def relaxed_simple_loss(
+    scores: jax.Array,
+    residual: jax.Array,
+    soft_bins: jax.Array,
+    res_true: jax.Array,
+    alpha: float = 1.0,
+) -> jax.Array:
+    """KL vs soft bin targets + alpha * MSE on residual (SimpleRelaXedLoss)."""
+    lc = kl_div_mean(jax.nn.log_softmax(scores, axis=-1), soft_bins)
+    return lc + alpha * mse(residual, res_true)
+
+
+def relaxed_bd_loss(
+    scores: jax.Array,
+    residual: jax.Array,
+    soft_bins: jax.Array,
+    y_true: jax.Array,
+    centers: jax.Array,
+    alpha: float = 1.0,
+    regression_loss: LossFn = mse,
+) -> jax.Array:
+    """KL vs soft bins + alpha * regression on the decoded pose (RelaXedLoss)."""
+    lc = kl_div_mean(jax.nn.log_softmax(scores, axis=-1), soft_bins)
+    lr = regression_loss(decode_bin_delta(scores, residual, centers), y_true)
+    return lc + alpha * lr
+
+
+def _expected_regression(
+    scores: jax.Array,
+    candidates: jax.Array,  # (B, K, D) candidate poses per cluster
+    y_true: jax.Array,  # (B, D)
+    per_sample_loss: Callable[[jax.Array, jax.Array], jax.Array],
+) -> jax.Array:
+    """E_{k ~ softmax(scores)}[ loss(candidate_k, y_true) ], mean over batch.
+
+    per_sample_loss maps ((B, D), (B, D)) -> (B,). Vectorized over the cluster
+    axis with vmap instead of the reference's Python loop + stack.
+    """
+    losses = jax.vmap(
+        lambda cand: per_sample_loss(cand, y_true), in_axes=1, out_axes=1
+    )(candidates)  # (B, K)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.mean(jnp.sum(probs * losses, axis=-1))
+
+
+def probabilistic_loss(
+    scores: jax.Array,
+    residual: jax.Array,  # (B, D) — single shared residual
+    bin_target: jax.Array,  # int labels (hard) or (B, K) soft posteriors
+    y_true: jax.Array,
+    centers: jax.Array,  # (K, D)
+    alpha: float = 1.0,
+    per_sample_loss: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+    soft_bins: bool = False,
+) -> jax.Array:
+    """Expected regression loss under the softmax bin posterior.
+
+    candidate_k = residual + center_k (ProbabilisticLoss /
+    RelaXedProbabilisticLoss; soft_bins selects KL vs CE for the bin term).
+    """
+    if per_sample_loss is None:
+        per_sample_loss = lambda p, t: jnp.mean(jnp.square(p - t), axis=-1)
+    if soft_bins:
+        lc = kl_div_mean(jax.nn.log_softmax(scores, axis=-1), bin_target)
+    else:
+        lc = cross_entropy(scores, bin_target)
+    candidates = residual[:, None, :] + centers[None, :, :]  # (B, K, D)
+    lr = _expected_regression(scores, candidates, y_true, per_sample_loss)
+    return lc + alpha * lr
+
+
+def probabilistic_multires_loss(
+    scores: jax.Array,
+    residuals: jax.Array,  # (B, K, D) — one residual per cluster
+    bin_target: jax.Array,
+    y_true: jax.Array,
+    centers: jax.Array,
+    alpha: float = 1.0,
+    per_sample_loss: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+    soft_bins: bool = False,
+) -> jax.Array:
+    """Multires variant: candidate_k = center_k + residual_k
+    (ProbabilisticMultiresLoss and relaxed/quaternion variants)."""
+    if per_sample_loss is None:
+        per_sample_loss = lambda p, t: jnp.mean(jnp.square(p - t), axis=-1)
+    if soft_bins:
+        lc = kl_div_mean(jax.nn.log_softmax(scores, axis=-1), bin_target)
+    else:
+        lc = cross_entropy(scores, bin_target)
+    candidates = centers[None, :, :] + residuals  # (B, K, D)
+    lr = _expected_regression(scores, candidates, y_true, per_sample_loss)
+    return lc + alpha * lr
+
+
+def riemannian_loss(
+    scores: jax.Array,
+    residual: jax.Array,  # (B, 3) tangent-space residual
+    bin_true: jax.Array,
+    R_true: jax.Array,  # (B, 3, 3) target rotations
+    key_rotations: jax.Array,  # (K, 3, 3) dictionary atoms as rotations
+    alpha: float = 1.0,
+) -> jax.Array:
+    """CE + geodesic trace-angle loss on R_bin @ exp(residual) vs R_true.
+
+    The batched Rodrigues exp replaces the reference's per-sample Python loop
+    (RiemannianLoss, binDeltaLosses.py:227-238). Note the reference applies
+    Rodrigues with the *unnormalized-angle* convention: angle = |residual|,
+    axis = residual/|residual| — exactly exp_so3.
+    """
+    lc = cross_entropy(scores, bin_true)
+    ind = jnp.argmax(scores, axis=-1)
+    R_pred = key_rotations[ind] @ exp_so3(residual)
+    lr = geodesic_rotmat(R_pred, R_true)
+    return lc + alpha * lr
+
+
+def per_bin_residual_loss(
+    scores: jax.Array,
+    residual: jax.Array,  # (B, D) predicted residual
+    bin_true: jax.Array,
+    res_true_per_bin: jax.Array,  # (B, K, D) residual target per bin
+    alpha: float = 1.0,
+) -> jax.Array:
+    """CE + MSE against the residual target at the *predicted* bin (loss_m2):
+    the regression target depends on argmax(scores)."""
+    lc = cross_entropy(scores, bin_true)
+    ind = jnp.argmax(scores, axis=-1)
+    target = jnp.take_along_axis(res_true_per_bin, ind[:, None, None], axis=1)[:, 0]
+    return lc + alpha * mse(residual, target)
