@@ -1,0 +1,192 @@
+"""Host-side image loading with threaded prefetch; normalization on device.
+
+The reference decodes + resizes + normalizes per image in DataLoader worker
+processes and ships float32 tensors to the GPU (dataGenerators.py:21-23,39-54).
+Here the host only decodes and resizes to uint8; batches cross to the TPU as
+uint8 (4x less H2D traffic) and the (x/255 - mean)/std normalization runs
+on device inside the compiled step (see `normalize_images`). Pose targets
+also stay symbolic on the host (euler angles) — the rotation/bin/residual
+math is computed on device by data.targets.
+
+A batch from BalancedLoader is the reference's effective step layout: each
+of `items_per_batch` items contributes one image per class, concatenated
+(my_collate, dataGenerators.py:127-132) -> B = items_per_batch * num_classes
+images, exactly the 2 loaders x 4 items x 12 classes = 96-image step of
+learnGeodesicBDModel.py:78-79 when items_per_batch=4.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import queue
+import threading
+from typing import Iterator
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from multi_modal_regression_tpu.data.index import ClassBalancedIndex, FlatTestIndex
+
+# ImageNet normalization (dataGenerators.py:21)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def decode_image(path: str, size: int = 224) -> np.ndarray:
+    """PNG -> uint8 (size, size, 3). Bilinear resize like transforms.Resize."""
+    with Image.open(path) as img:
+        img = img.convert("RGB")
+        if img.size != (size, size):
+            img = img.resize((size, size), Image.BILINEAR)
+        return np.asarray(img, np.uint8)
+
+
+def normalize_images(x_uint8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """On-device (x/255 - mean)/std. Input (..., H, W, 3) uint8."""
+    x = x_uint8.astype(dtype) / np.float32(255.0)
+    mean = jnp.asarray(IMAGENET_MEAN, dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype)
+    return (x - mean) / std
+
+
+class _Prefetcher:
+    """Runs a batch-producing generator in a daemon thread, depth-limited."""
+
+    def __init__(self, gen: Iterator, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+
+        def worker():
+            try:
+                for item in gen:
+                    self._q.put(item)
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._sentinel:
+                return
+            yield item
+
+
+class BalancedLoader:
+    """Iterate class-balanced training batches from a ClassBalancedIndex.
+
+    Yields dicts of numpy arrays:
+      xdata  (B, S, S, 3) uint8
+      euler  (B, 3) float32  — (az, el, ct) with the db tilt sign applied
+      label  (B,)  int32
+    with B = items_per_batch * num_classes. Epoch length (in items) is the
+    max class size; len(self) is the number of full batches per epoch
+    (drop_last semantics, giving static batch shapes for jit).
+    """
+
+    def __init__(
+        self,
+        index: ClassBalancedIndex,
+        items_per_batch: int = 4,
+        image_size: int = 224,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch_depth: int = 2,
+    ):
+        self.index = index
+        self.items_per_batch = items_per_batch
+        self.image_size = image_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.prefetch_depth = prefetch_depth
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def batch_images(self) -> int:
+        return self.items_per_batch * self.index.num_classes
+
+    def __len__(self) -> int:
+        return len(self.index) // self.items_per_batch
+
+    def _make_batch(self, item_ids: np.ndarray, pool: cf.Executor) -> dict:
+        paths, labels, eulers = [], [], []
+        for idx in item_ids:
+            p, l = self.index.item_paths_labels(int(idx))
+            paths.extend(p)
+            labels.append(l)
+            eulers.append(self.index.item_euler(int(idx)))
+        images = list(pool.map(lambda p: decode_image(p, self.image_size), paths))
+        return {
+            "xdata": np.stack(images),
+            "euler": np.concatenate(eulers).astype(np.float32),
+            "label": np.concatenate(labels).astype(np.int32),
+        }
+
+    def _epoch_gen(self, pool: cf.Executor) -> Iterator[dict]:
+        n_items = len(self.index)
+        order = (
+            self._rng.permutation(n_items) if self.shuffle else np.arange(n_items)
+        )
+        for start in range(0, len(self) * self.items_per_batch, self.items_per_batch):
+            yield self._make_batch(order[start : start + self.items_per_batch], pool)
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.shuffle:
+            self.index.shuffle(self._rng)
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            yield from _Prefetcher(self._epoch_gen(pool), self.prefetch_depth)
+
+
+class TestLoader:
+    """Fixed-size batches over a FlatTestIndex, padded for static shapes.
+
+    Yields dicts with 'xdata' uint8, 'euler', 'label', and a boolean 'valid'
+    mask (False on padding rows of the final batch).
+    """
+
+    def __init__(
+        self,
+        index: FlatTestIndex,
+        batch_size: int = 96,
+        image_size: int = 224,
+        num_workers: int = 8,
+        prefetch_depth: int = 2,
+    ):
+        self.index = index
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.num_workers = num_workers
+        self.prefetch_depth = prefetch_depth
+
+    def __len__(self) -> int:
+        return -(-len(self.index) // self.batch_size)
+
+    def _gen(self, pool: cf.Executor) -> Iterator[dict]:
+        n = len(self.index)
+        for start in range(0, n, self.batch_size):
+            ids = np.arange(start, min(start + self.batch_size, n))
+            images = list(
+                pool.map(
+                    lambda i: decode_image(self.index.path(int(i)), self.image_size),
+                    ids,
+                )
+            )
+            xdata = np.stack(images)
+            euler = np.stack([self.index.euler(int(i)) for i in ids]).astype(np.float32)
+            label = self.index.labels[ids].astype(np.int32)
+            valid = np.ones(len(ids), bool)
+            pad = self.batch_size - len(ids)
+            if pad:
+                xdata = np.concatenate([xdata, np.zeros((pad, *xdata.shape[1:]), xdata.dtype)])
+                euler = np.concatenate([euler, np.zeros((pad, 3), np.float32)])
+                label = np.concatenate([label, np.zeros(pad, np.int32)])
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+            yield {"xdata": xdata, "euler": euler, "label": label, "valid": valid}
+
+    def __iter__(self) -> Iterator[dict]:
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            yield from _Prefetcher(self._gen(pool), self.prefetch_depth)

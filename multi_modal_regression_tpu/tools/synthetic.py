@@ -1,0 +1,60 @@
+"""Synthetic mini-datasets with filename-encoded poses.
+
+Generates the reference's on-disk training layout
+(`<root>/<cls>/<prefix>_a<az>_e<el>_t<ct>_d<dist>.png`,
+setupDataFlipped_pascal3d.m:120-121) with small random images and uniform
+random viewpoints, so the full data -> train -> eval path can run without
+PASCAL3D+/ObjectNet3D downloads. Used by tests and the verify recipe.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+from PIL import Image
+
+from multi_modal_regression_tpu.data.naming import PASCAL3D_CLASSES, make_name
+
+
+def generate_pose_dataset(
+    root: str | Path,
+    classes: Sequence[str] = PASCAL3D_CLASSES,
+    images_per_class: int = 8,
+    image_size: int = 64,
+    seed: int = 0,
+    write_info_mat: bool = False,
+) -> Path:
+    """Write a synthetic filename-encoded pose dataset; returns its root.
+
+    Viewpoints: az ~ U(0, 360), el ~ U(-90, 90), ct ~ U(-45, 45),
+    dist ~ U(2, 10). Image content encodes nothing (random RGB noise).
+    With write_info_mat, also writes `<cls>_info.mat` index files like
+    setupDataOriginal_pascal3d.m:70 (requires scipy).
+    """
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    for ci, cls in enumerate(classes):
+        cls_dir = root / cls
+        cls_dir.mkdir(parents=True, exist_ok=True)
+        names = []
+        # vary the per-class count a little so class-balanced modulo
+        # indexing is exercised (same shape as real data)
+        n = images_per_class + (ci % 3)
+        for i in range(n):
+            az = float(rng.uniform(0, 360))
+            el = float(rng.uniform(-90, 90))
+            ct = float(rng.uniform(-45, 45))
+            d = float(rng.uniform(2, 10))
+            name = make_name(f"{cls}_img{i:03d}object1", az, el, ct, d)
+            img = rng.integers(0, 256, (image_size, image_size, 3), np.uint8)
+            Image.fromarray(img).save(cls_dir / f"{name}.png")
+            names.append(name)
+        if write_info_mat:
+            import scipy.io as spio
+
+            spio.savemat(
+                str(root / f"{cls}_info.mat"), {"image_names": np.array(names)}
+            )
+    return root

@@ -1,0 +1,188 @@
+"""Data layer tests: naming, index semantics, loaders, on-device targets."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as ScipyRotation
+
+from multi_modal_regression_tpu.data import (
+    BalancedLoader,
+    ClassBalancedIndex,
+    FlatTestIndex,
+    TestLoader,
+    euler_to_pose,
+    gmm_soft_targets,
+    hard_bin_targets,
+    make_name,
+    normalize_images,
+    parse_name,
+    per_bin_tangent_residuals,
+    rbf_soft_targets,
+    tangent_residual_targets,
+)
+from multi_modal_regression_tpu.geometry.so3 import exp_so3
+from multi_modal_regression_tpu.tools.synthetic import generate_pose_dataset
+
+CLASSES = ("aeroplane", "bicycle", "boat")
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthetic")
+    return generate_pose_dataset(
+        root, classes=CLASSES, images_per_class=5, image_size=48, seed=1
+    )
+
+
+def test_parse_name_roundtrip():
+    name = make_name("car_2008_000251object2", 123.5, -10.25, 4.0, 3.75)
+    p = parse_name(name)
+    assert p.prefix == "car_2008_000251object2"  # underscores in id survive
+    assert (p.az, p.el, p.ct, p.d) == (123.5, -10.25, 4.0, 3.75)
+
+
+def test_parse_name_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_name("car_a1.0_b2.0_t3.0_d4.0")
+
+
+def test_class_balanced_index(dataset):
+    idx = ClassBalancedIndex(str(dataset), "real", classes=CLASSES)
+    # per-class counts vary: 5, 6, 7 -> epoch length = 7
+    assert sorted(idx.num_images.tolist()) == [5, 6, 7]
+    assert len(idx) == 7
+    paths, labels = idx.item_paths_labels(6)
+    assert len(paths) == len(CLASSES)
+    np.testing.assert_array_equal(labels, np.arange(len(CLASSES)))
+    # modulo cycling: item 6 of a 5-image class is its image 1
+    small_c = int(np.argmin(idx.num_images))
+    assert idx.image_names[small_c][6 % idx.num_images[small_c]] in paths[small_c]
+
+
+def test_render_tilt_sign(dataset):
+    real = ClassBalancedIndex(str(dataset), "real", classes=CLASSES)
+    render = ClassBalancedIndex(str(dataset), "render", classes=CLASSES)
+    er, eg = real.item_euler(0), render.item_euler(0)
+    np.testing.assert_allclose(er[:, :2], eg[:, :2])
+    np.testing.assert_allclose(er[:, 2], -eg[:, 2])
+
+
+def test_balanced_loader_batches(dataset):
+    idx = ClassBalancedIndex(str(dataset), "real", classes=CLASSES)
+    loader = BalancedLoader(idx, items_per_batch=2, image_size=48, seed=0,
+                            num_workers=2)
+    assert loader.batch_images == 2 * len(CLASSES)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 7 // 2
+    b = batches[0]
+    assert b["xdata"].shape == (6, 48, 48, 3) and b["xdata"].dtype == np.uint8
+    assert b["euler"].shape == (6, 3)
+    np.testing.assert_array_equal(b["label"], [0, 1, 2, 0, 1, 2])
+
+
+def test_balanced_loader_euler_matches_filenames(dataset):
+    idx = ClassBalancedIndex(str(dataset), "real", classes=CLASSES)
+    loader = BalancedLoader(idx, items_per_batch=1, image_size=48,
+                            shuffle=False, num_workers=2)
+    b = next(iter(loader))
+    for c in range(len(CLASSES)):
+        p = parse_name(idx.image_names[c][0])
+        np.testing.assert_allclose(b["euler"][c], [p.az, p.el, p.ct], rtol=1e-6)
+
+
+def test_test_loader_padding(dataset):
+    idx = FlatTestIndex(str(dataset), classes=CLASSES)
+    n = len(idx)  # 18
+    loader = TestLoader(idx, batch_size=8, image_size=48, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == -(-n // 8)
+    assert all(b["xdata"].shape == (8, 48, 48, 3) for b in batches)
+    total_valid = sum(int(b["valid"].sum()) for b in batches)
+    assert total_valid == n
+    assert not batches[-1]["valid"][-1]
+
+
+def test_normalize_images_matches_torchvision_formula(rng):
+    x = rng.integers(0, 256, (4, 8, 8, 3), np.uint8)
+    got = np.asarray(normalize_images(jnp.asarray(x)))
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    want = (x.astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_euler_to_pose_matches_host_reference(rng):
+    """euler -> axis-angle equals the host numpy ZXZ-euler + scipy log map."""
+    euler = rng.uniform(-90, 90, (16, 3)).astype(np.float32)
+    y = np.asarray(euler_to_pose(jnp.asarray(euler)))
+    for i in range(16):
+        az, el, ct = np.radians(euler[i].astype(np.float64))
+        Ra = np.array([[np.cos(az), -np.sin(az), 0], [np.sin(az), np.cos(az), 0], [0, 0, 1]])
+        Rb = np.array([[1, 0, 0], [0, np.cos(el), -np.sin(el)], [0, np.sin(el), np.cos(el)]])
+        Rc = np.array([[np.cos(ct), -np.sin(ct), 0], [np.sin(ct), np.cos(ct), 0], [0, 0, 1]])
+        want = ScipyRotation.from_matrix(Rc @ Rb @ Ra).as_rotvec()
+        np.testing.assert_allclose(y[i], want, atol=1e-4)
+
+
+def test_hard_bin_targets_vs_numpy(rng):
+    y = rng.standard_normal((32, 3)).astype(np.float32)
+    centers = rng.standard_normal((7, 3)).astype(np.float32)
+    bins, res = hard_bin_targets(jnp.asarray(y), jnp.asarray(centers))
+    d = ((y[:, None] - centers[None]) ** 2).sum(-1)
+    want_bins = d.argmin(-1)
+    np.testing.assert_array_equal(np.asarray(bins), want_bins)
+    np.testing.assert_allclose(np.asarray(res), y - centers[want_bins], rtol=1e-5)
+
+
+def test_rbf_soft_targets_reference_formula(rng):
+    """soft = exp(-10 d^2) normalized; residual vs soft-weighted center
+    (dataGenerators.py:156-166)."""
+    y = 0.5 * rng.standard_normal((16, 3)).astype(np.float32)
+    centers = 0.5 * rng.standard_normal((5, 3)).astype(np.float32)
+    soft, res = rbf_soft_targets(jnp.asarray(y), jnp.asarray(centers), gamma=10.0)
+    d = ((y[:, None] - centers[None]) ** 2).sum(-1)
+    w = np.exp(-10.0 * d)
+    w = w / w.sum(-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(soft), w, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res), y - w @ centers, rtol=1e-4, atol=1e-6)
+
+
+def test_gmm_soft_targets_vs_sklearn(rng):
+    from sklearn.mixture import GaussianMixture
+
+    y = rng.standard_normal((64, 3)).astype(np.float64)
+    gm = GaussianMixture(3, covariance_type="full", random_state=0).fit(y)
+    soft, res = gmm_soft_targets(
+        jnp.asarray(y, jnp.float32),
+        jnp.asarray(gm.means_, jnp.float32),
+        jnp.asarray(gm.covariances_, jnp.float32),
+        jnp.asarray(gm.weights_, jnp.float32),
+    )
+    want = gm.predict_proba(y)
+    np.testing.assert_allclose(np.asarray(soft), want, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res), y - want @ gm.means_, atol=1e-4)
+
+
+def test_tangent_residual_roundtrip(rng):
+    """R_bin @ exp(residual) must reconstruct the target rotation."""
+    y = rng.standard_normal((16, 3)).astype(np.float32)
+    y = y / np.maximum(np.linalg.norm(y, axis=-1, keepdims=True), 1.0) * 2.0
+    centers = rng.standard_normal((4, 3)).astype(np.float32)
+    key_R = np.asarray(exp_so3(jnp.asarray(centers)))
+    bins, res, R = tangent_residual_targets(
+        jnp.asarray(y), jnp.asarray(centers), jnp.asarray(key_R)
+    )
+    recon = key_R[np.asarray(bins)] @ np.asarray(exp_so3(res))
+    np.testing.assert_allclose(recon, np.asarray(R), atol=1e-5)
+
+
+def test_per_bin_tangent_residuals_vs_scipy(rng):
+    y = rng.standard_normal((6, 3)).astype(np.float32)
+    centers = rng.standard_normal((4, 3)).astype(np.float32)
+    key_R = ScipyRotation.from_rotvec(centers.astype(np.float64)).as_matrix()
+    got = np.asarray(per_bin_tangent_residuals(jnp.asarray(y), jnp.asarray(key_R, jnp.float32)))
+    for i in range(6):
+        Ri = ScipyRotation.from_rotvec(y[i].astype(np.float64)).as_matrix()
+        for k in range(4):
+            want = ScipyRotation.from_matrix(key_R[k].T @ Ri).as_rotvec()
+            np.testing.assert_allclose(got[i, k], want, atol=1e-4)
