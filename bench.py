@@ -1,0 +1,101 @@
+"""Benchmark: training-step throughput of the north-star config.
+
+Measures images/sec/chip for the `geodesic_bd` preset (the reference's
+learnGeodesicBDModel.py: ResNet50-layer4 + per-class bin/delta heads,
+dict_size=200, effective batch 96 x 224x224 — learnGeodesicBDModel.py:78-92)
+with the full compiled train step (normalize + targets + forward + geodesic
+loss + backward + Adam + BN stats + self-balance) and synthetic input batches.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The reference repo publishes no throughput numbers (BASELINE.md). The
+baseline divisor below is our documented ESTIMATE of the reference script's
+single-GPU throughput for this config — PyTorch-0.4-style loop with per-step
+host syncs (CPU one-hot scatter, loss.item(), host preprocessing;
+SURVEY.md §3.1) — so vs_baseline tracks progress against a fixed reference
+point across rounds rather than nothing.
+"""
+
+import json
+import time
+
+import numpy as np
+
+ESTIMATED_REFERENCE_IMG_PER_SEC = 610.0  # see module docstring / BASELINE.md
+
+BATCH = 96  # 2 loaders x 4 items x 12 classes (learnGeodesicBDModel.py:78-79)
+IMAGE_SIZE = 224
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from multi_modal_regression_tpu.dictionary.kmeans import KMeansDictionary
+    from multi_modal_regression_tpu.parallel.mesh import make_mesh
+    from multi_modal_regression_tpu.train import Trainer, get_config
+
+    rng = np.random.default_rng(0)
+    cfg = get_config(
+        "geodesic_bd",
+        image_size=IMAGE_SIZE,
+        items_per_batch=BATCH // 12,
+        compute_dtype="bfloat16",
+    )
+    centers = (0.8 * rng.standard_normal((cfg.dict_size, 3))).astype(np.float32)
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices()[:1]),
+    )
+
+    # jit the whole init: un-jitted flax init dispatches thousands of tiny
+    # ops over the TPU tunnel (~12 min); jitted it is one compiled program.
+    model = trainer.model
+    x0 = jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32)
+    l0 = jnp.zeros((2,), jnp.int32)
+    variables = jax.jit(lambda k: model.init(k, x0, l0, train=False))(
+        jax.random.PRNGKey(cfg.seed)
+    )
+    from multi_modal_regression_tpu.train.state import create_train_state
+
+    state = create_train_state(variables, trainer.tx)
+
+    batch = {
+        "xdata": rng.integers(0, 256, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), np.uint8),
+        "euler": rng.uniform(-90, 90, (BATCH, 3)).astype(np.float32),
+        "label": np.tile(np.arange(12, dtype=np.int32), BATCH // 12),
+    }
+    batch = trainer.shard_batch(batch)
+
+    step_fn = trainer._train_steps["main"]
+    for _ in range(WARMUP_STEPS):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = MEASURE_STEPS * BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "geodesic_bd train throughput (ResNet50, batch 96, 224px)",
+                "value": round(images_per_sec, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(
+                    images_per_sec / ESTIMATED_REFERENCE_IMG_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -50,29 +50,51 @@ def normalize_images(x_uint8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     return (x - mean) / std
 
 
-class _Prefetcher:
-    """Runs a batch-producing generator in a daemon thread, depth-limited."""
+def _prefetched(make_gen, num_workers: int, depth: int) -> Iterator:
+    """Run `make_gen(pool)` in a daemon thread with a depth-limited queue.
 
-    def __init__(self, gen: Iterator, depth: int = 2):
-        self._q: queue.Queue = queue.Queue(maxsize=depth)
-        self._sentinel = object()
+    The worker thread owns the decode thread-pool, and shuts down cleanly
+    when the consumer abandons iteration early (e.g. max_iterations caps)
+    — the stop event is set from the consumer's GeneratorExit.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    stop = threading.Event()
 
-        def worker():
+    def _put(item) -> bool:
+        """Blocking put that gives up if the consumer abandoned iteration."""
+        while not stop.is_set():
             try:
-                for item in gen:
-                    self._q.put(item)
-            finally:
-                self._q.put(self._sentinel)
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
-        self._thread = threading.Thread(target=worker, daemon=True)
-        self._thread.start()
+    def worker():
+        try:
+            with cf.ThreadPoolExecutor(num_workers) as pool:
+                for item in make_gen(pool):
+                    if not _put(item):
+                        return
+        finally:
+            _put(sentinel)
 
-    def __iter__(self):
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    try:
         while True:
-            item = self._q.get()
-            if item is self._sentinel:
+            item = q.get()
+            if item is sentinel:
                 return
             yield item
+    finally:
+        stop.set()
+        while True:  # unblock a producer stuck on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 class BalancedLoader:
@@ -137,8 +159,9 @@ class BalancedLoader:
     def __iter__(self) -> Iterator[dict]:
         if self.shuffle:
             self.index.shuffle(self._rng)
-        with cf.ThreadPoolExecutor(self.num_workers) as pool:
-            yield from _Prefetcher(self._epoch_gen(pool), self.prefetch_depth)
+        yield from _prefetched(
+            self._epoch_gen, self.num_workers, self.prefetch_depth
+        )
 
 
 class TestLoader:
@@ -188,5 +211,4 @@ class TestLoader:
             yield {"xdata": xdata, "euler": euler, "label": label, "valid": valid}
 
     def __iter__(self) -> Iterator[dict]:
-        with cf.ThreadPoolExecutor(self.num_workers) as pool:
-            yield from _Prefetcher(self._gen(pool), self.prefetch_depth)
+        yield from _prefetched(self._gen, self.num_workers, self.prefetch_depth)

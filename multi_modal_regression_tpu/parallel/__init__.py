@@ -1,0 +1,15 @@
+"""Device-mesh / sharding helpers (SPMD via jit over a Mesh)."""
+
+from multi_modal_regression_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+]

@@ -1,0 +1,229 @@
+"""Experiment presets: one structured config per reference training script.
+
+The reference spreads ~30 near-identical argparse scripts over the repo
+(learn*.py); here each is a named preset of ONE config dataclass preserving
+the reference flag names/defaults (dict_size=200, N0/N1/N2/N3 =
+2048/1000/500/100, init_lr=1e-4, num_epochs=3 —
+learnGeodesicBDModel.py:28-45). `build(...)` materializes the model,
+problem, optimizer, and apply-fn adaptor for the Trainer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from multi_modal_regression_tpu.models import (
+    IndependentBDModel,
+    IndependentRegressionModel,
+    OneBinDeltaModel,
+    OneDeltaPerBinModel,
+    PerClassClassificationModel,
+    PerClassRegressionModel,
+    ProbabilisticOneDeltaPerBinModel,
+)
+from multi_modal_regression_tpu.train.problems import Problem, make_problem
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    """One training experiment (a reference learn*.py script)."""
+
+    preset: str = "geodesic_bd"
+    # model
+    model_kind: str = "one_bin_delta"  # see _MODEL_KINDS
+    feature_network: str = "resnet50"
+    feature_layer: str = "layer4"
+    num_classes: int = 12
+    dict_size: int = 200
+    N0: int = 2048
+    N1: int = 1000
+    N2: int = 500
+    N3: int = 100
+    ndim: int = 3
+    nonlinearity: str = "pi_tanh"  # regression models
+    multires: bool = False
+    # problem / loss
+    problem: str = "geodesic"
+    self_balance: bool = True  # False -> fixed loss Lc + alpha * Lr
+    alpha: float = 1.0  # fixed Lr weight when self-balance is off
+    gamma: float = 10.0  # RBF soft-bin width
+    # optimization (reference defaults: learnGeodesicBDModel.py:41-42,96)
+    init_lr: float = 1e-4
+    num_warmup_epochs: int = 1
+    num_epochs: int = 3
+    items_per_batch: int = 8  # images/step = items_per_batch * num_classes
+    image_size: int = 224
+    eval_batch: int = 96
+    max_iterations: int | None = None  # cap steps/epoch (debug)
+    eval_every: int = 1000
+    seed: int = 0
+    compute_dtype: str = "float32"  # 'bfloat16' for the TPU fast path
+    # snapshot-ensemble evaluation (helperFunctions.py:64,112-118)
+    eval_alpha1: float = 1e-6
+    eval_alpha2: float = 1e-8
+    eval_num_epochs: int = 9
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _model_takes_label(kind: str) -> bool:
+    return kind in ("one_bin_delta", "one_delta_per_bin", "probabilistic",
+                    "per_class_regression", "per_class_classification")
+
+
+def build_model(cfg: ExperimentConfig):
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    common = dict(
+        num_classes=cfg.num_classes, N0=cfg.N0, N1=cfg.N1, N2=cfg.N2,
+        feature_network=cfg.feature_network, feature_layer=cfg.feature_layer,
+        dtype=dtype,
+    )
+    k = cfg.model_kind
+    if k == "one_bin_delta":
+        return OneBinDeltaModel(**common, num_clusters=cfg.dict_size, ndim=cfg.ndim)
+    if k == "one_delta_per_bin":
+        return OneDeltaPerBinModel(
+            **common, num_clusters=cfg.dict_size, N3=cfg.N3, ndim=cfg.ndim
+        )
+    if k == "probabilistic":
+        return ProbabilisticOneDeltaPerBinModel(
+            **common, num_clusters=cfg.dict_size, N3=cfg.N3, ndim=cfg.ndim
+        )
+    if k == "per_class_regression":
+        return PerClassRegressionModel(
+            **common, ndim=cfg.ndim, nonlinearity=cfg.nonlinearity
+        )
+    if k == "per_class_classification":
+        return PerClassClassificationModel(**common, num_clusters=cfg.dict_size)
+    if k == "independent_regression":
+        return IndependentRegressionModel(
+            **common, ndim=cfg.ndim, nonlinearity=cfg.nonlinearity
+        )
+    if k == "independent_bd":
+        return IndependentBDModel(
+            **common, num_clusters=cfg.dict_size, N3=cfg.N3, ndim=cfg.ndim
+        )
+    raise ValueError(f"unknown model_kind {cfg.model_kind!r}")
+
+
+def make_apply_fn(model, cfg: ExperimentConfig):
+    """Uniform (variables, images, labels, train) -> outputs adaptor."""
+    takes_label = _model_takes_label(cfg.model_kind)
+
+    def apply_fn(variables, images, labels, train):
+        args = (images, labels) if takes_label else (images,)
+        if train:
+            return model.apply(
+                variables, *args, train=True, mutable=["batch_stats"]
+            )
+        return model.apply(variables, *args, train=False)
+
+    return apply_fn
+
+
+def build_problem(cfg: ExperimentConfig, dictionary: Any = None) -> Problem:
+    """dictionary: KMeansDictionary / GMMDictionary / raw (K, D) centers."""
+    kw: dict = {"gamma": cfg.gamma, "multires": cfg.multires}
+    centers = None
+    if dictionary is not None:
+        if hasattr(dictionary, "means"):  # GMM
+            kw.update(
+                gmm_means=dictionary.means,
+                gmm_covariances=dictionary.covariances,
+                gmm_weights=dictionary.weights,
+            )
+            centers = dictionary.means
+        elif hasattr(dictionary, "cluster_centers"):
+            centers = dictionary.cluster_centers
+        else:
+            centers = np.asarray(dictionary)
+    problem = make_problem(cfg.problem, centers, **kw)
+    if not cfg.self_balance:
+        problem = dataclasses.replace(
+            problem, warmup_balance=None, main_balance=None
+        )
+    return problem
+
+
+def build_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    return optax.adam(cfg.init_lr)
+
+
+# ---------------------------------------------------------------------------
+# named presets == the reference's learn*.py scripts
+# ---------------------------------------------------------------------------
+
+PRESETS: dict[str, dict] = {
+    # learnSimpleBDModel.py — CE + MSE(residual), self-balanced throughout
+    "simple_bd": dict(model_kind="one_bin_delta", problem="simple"),
+    # learnGeodesicBDModel.py — the north-star config
+    "geodesic_bd": dict(model_kind="one_bin_delta", problem="geodesic"),
+    # learnGeodesicBDModel.py --multires
+    "geodesic_bd_multires": dict(
+        model_kind="one_delta_per_bin", problem="geodesic", multires=True
+    ),
+    # learnGeodesicBDModel_quaternion.py
+    "geodesic_bd_quaternion": dict(
+        model_kind="one_bin_delta", problem="geodesic_quat", ndim=4
+    ),
+    # learnEuclideanBDModel.py / learnLaplacianBDModel.py
+    "euclidean_bd": dict(model_kind="one_bin_delta", problem="euclidean"),
+    "laplacian_bd": dict(model_kind="one_bin_delta", problem="laplacian"),
+    # learnLogEuclideanModel.py ('m2' tangent residuals)
+    "log_euclidean_bd": dict(model_kind="one_bin_delta", problem="log_euclidean"),
+    # learnRiemannianBDModel.py
+    "riemannian_bd": dict(model_kind="one_bin_delta", problem="riemannian"),
+    # learnProbabilisticBDModel.py (GMM soft bins, expected loss)
+    "probabilistic_bd": dict(model_kind="one_bin_delta", problem="probabilistic"),
+    "probabilistic_bd_multires": dict(
+        model_kind="probabilistic", problem="probabilistic_multires", multires=True
+    ),
+    # ablationXBDModel.py (RBF-relaxed soft bins)
+    "relaxed_bd": dict(model_kind="one_bin_delta", problem="relaxed_kmeans"),
+    # learnClassificationModel.py (dict_size=100) / _new.py (200)
+    "classification": dict(
+        model_kind="per_class_classification", problem="classification",
+        dict_size=100,
+    ),
+    # learnGeodesicRegressionModel.py (--nonlinearity valid)
+    "geodesic_regression": dict(
+        model_kind="per_class_regression", problem="regression",
+        nonlinearity="pi_tanh",
+    ),
+    # learnGeodesicRegression_quaternion.py
+    "geodesic_regression_quaternion": dict(
+        model_kind="per_class_regression", problem="regression_quat",
+        ndim=4, nonlinearity="quat",
+    ),
+    # learnIndependentRegressionModel.py
+    "independent_regression": dict(
+        model_kind="independent_regression", problem="regression",
+        nonlinearity="pi_tanh",
+    ),
+    # learnIndependentBDModel.py (fixed weights CE+MSE -> CE+10*geodesic)
+    "independent_bd": dict(
+        model_kind="independent_bd", problem="geodesic", dict_size=50,
+        alpha=10.0, self_balance=False,
+    ),
+    # learnRenderedBDModel.py (class-agnostic, dict 16, render+real)
+    "rendered_bd": dict(
+        model_kind="independent_bd", problem="geodesic", dict_size=16,
+        alpha=10.0, self_balance=False,
+    ),
+}
+
+
+def get_config(preset: str, **overrides) -> ExperimentConfig:
+    if preset not in PRESETS:
+        raise KeyError(
+            f"unknown preset {preset!r}; available: {sorted(PRESETS)}"
+        )
+    base = dict(PRESETS[preset])
+    base.update(overrides)
+    return ExperimentConfig(preset=preset, **base)

@@ -1,0 +1,332 @@
+"""The problem zoo: per-preset target transforms, losses, and decoders.
+
+Each reference training script is a (model, targets, warmup loss, main loss,
+decoder) combination. Here each becomes a `Problem` object of pure functions
+that the compiled train/eval steps call — the full zoo:
+
+  simple          CE + MSE(residual), self-balanced warmup form for the whole
+                  run (learnSimpleBDModel.py:124-131)
+  geodesic        warmup CE+MSE(residual) then CE + geodesic on the decoded
+                  pose (learnGeodesicBDModel.py:106-205) — the north star
+  euclidean       main Lr = MSE on decoded pose (learnEuclideanBDModel.py:176-178)
+  laplacian       main Lr = L1 on decoded pose (learnLaplacianBDModel.py:178)
+  geodesic_quat   quaternion dictionary + quaternion geodesic; test-time
+                  renormalized prediction (learnGeodesicBDModel_quaternion.py)
+  relaxed_kmeans  RBF soft bins, KL + MSE(residual) / decoded-pose loss
+                  (SimpleRelaXedLoss / RelaXedLoss, ablationXBDModel.py)
+  probabilistic   GMM posterior bins, KL + expected geodesic under the
+                  softmax posterior (learnProbabilisticBDModel.py:124-129);
+                  multires variant uses per-cluster deltas
+  riemannian      tangent residual targets; main loss composes
+                  R_bin @ exp(delta) with a trace-angle geodesic
+                  (learnRiemannianBDModel.py:186-233)
+  log_euclidean   MSE vs the tangent residual at the PREDICTED bin ('m2',
+                  learnLogEuclideanModel.py:103-134) — per-bin residual
+                  targets computed on device, not in the host hot loop
+  classification  CE only; prediction = dictionary atom at argmax
+                  (learnClassificationModel.py)
+  regression      no bins: warmup MSE then geodesic on the raw pose output
+                  (learnGeodesicRegressionModel.py:122-199); quaternion
+                  variant via ydata_type
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_modal_regression_tpu.data.targets import (
+    euler_to_pose,
+    gmm_log_responsibilities,
+    hard_bin_targets,
+    per_bin_tangent_residuals,
+    rbf_soft_targets,
+    tangent_residual_targets,
+)
+from multi_modal_regression_tpu.geometry.quaternion import convert_dictionary
+from multi_modal_regression_tpu.geometry.so3 import exp_so3, log_so3
+from multi_modal_regression_tpu.losses import (
+    cross_entropy,
+    geodesic_aa,
+    geodesic_quat,
+    geodesic_rotmat,
+    kl_div_mean,
+    l1,
+    mse,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    """A training problem: target transform + (Lc, Lr) losses + decoder.
+
+    All members are pure jit-safe functions:
+      targets(y)                 pose batch -> dict of target arrays
+      warmup_losses(out, tg)     -> (lc, lr) for the warm-up phase
+      main_losses(out, tg)       -> (lc, lr) for the main phase
+      decode(out)                -> predicted pose batch (test protocol)
+    `out` is the model output tuple (scores, residual) — or a single array
+    for pure classification/regression models.
+    """
+
+    name: str
+    ydata_type: str
+    targets: Callable
+    warmup_losses: Callable
+    main_losses: Callable
+    decode: Callable
+    # self-balance modes for the two phases ('warmup' | 'main' | None=fixed)
+    warmup_balance: str | None = "warmup"
+    main_balance: str | None = "main"
+
+
+def _decode_hard(scores, residual, centers):
+    ind = jnp.argmax(scores, axis=-1)
+    return centers[ind] + residual
+
+
+def make_problem(
+    name: str,
+    centers: np.ndarray | None = None,
+    *,
+    gmm_means: np.ndarray | None = None,
+    gmm_covariances: np.ndarray | None = None,
+    gmm_weights: np.ndarray | None = None,
+    gamma: float = 10.0,
+    multires: bool = False,
+) -> Problem:
+    """Build a Problem by preset name. `centers` is the axis-angle pose
+    dictionary (K, 3) for bin-delta problems (converted internally for the
+    quaternion variants, quaternion.py:79-92)."""
+
+    if name == "simple":
+        C = jnp.asarray(centers, jnp.float32)
+
+        def targets(y):
+            bins, res = hard_bin_targets(y, C)
+            return {"y": y, "bins": bins, "res": res}
+
+        def losses(out, tg):
+            scores, residual = out
+            return cross_entropy(scores, tg["bins"]), mse(residual, tg["res"])
+
+        return Problem(
+            name, "axis_angle", targets, losses, losses,
+            lambda out: _decode_hard(out[0], out[1], C),
+            warmup_balance="warmup", main_balance="warmup",
+        )
+
+    if name in ("geodesic", "euclidean", "laplacian"):
+        C = jnp.asarray(centers, jnp.float32)
+        reg = {"geodesic": geodesic_aa, "euclidean": mse, "laplacian": l1}[name]
+
+        def targets(y):
+            bins, res = hard_bin_targets(y, C)
+            return {"y": y, "bins": bins, "res": res}
+
+        def warmup(out, tg):
+            scores, residual = out
+            return cross_entropy(scores, tg["bins"]), mse(residual, tg["res"])
+
+        def main(out, tg):
+            scores, residual = out
+            ypred = _decode_hard(scores, residual, C)
+            return cross_entropy(scores, tg["bins"]), reg(ypred, tg["y"])
+
+        return Problem(
+            name, "axis_angle", targets, warmup, main,
+            lambda out: _decode_hard(out[0], out[1], C),
+        )
+
+    if name == "geodesic_quat":
+        Cq = convert_dictionary(jnp.asarray(centers, jnp.float32))
+
+        def targets(y):
+            bins, res = hard_bin_targets(y, Cq)
+            return {"y": y, "bins": bins, "res": res}
+
+        def warmup(out, tg):
+            scores, residual = out
+            return cross_entropy(scores, tg["bins"]), mse(residual, tg["res"])
+
+        def main(out, tg):
+            scores, residual = out
+            ypred = _decode_hard(scores, residual, Cq)
+            return cross_entropy(scores, tg["bins"]), geodesic_quat(ypred, tg["y"])
+
+        def decode(out):
+            # test predictions renormalized to unit quaternions
+            # (learnGeodesicBDModel_quaternion.py:217-218)
+            q = _decode_hard(out[0], out[1], Cq)
+            return q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12
+            )
+
+        return Problem(name, "quaternion", targets, warmup, main, decode)
+
+    if name == "relaxed_kmeans":
+        C = jnp.asarray(centers, jnp.float32)
+
+        def targets(y):
+            soft, res = rbf_soft_targets(y, C, gamma=gamma)
+            return {"y": y, "soft": soft, "res": res}
+
+        def warmup(out, tg):
+            scores, residual = out
+            lc = kl_div_mean(jax.nn.log_softmax(scores, -1), tg["soft"])
+            return lc, mse(residual, tg["res"])
+
+        def main(out, tg):
+            scores, residual = out
+            lc = kl_div_mean(jax.nn.log_softmax(scores, -1), tg["soft"])
+            ypred = _decode_hard(scores, residual, C)
+            return lc, geodesic_aa(ypred, tg["y"])
+
+        return Problem(
+            name, "axis_angle", targets, warmup, main,
+            lambda out: _decode_hard(out[0], out[1], C),
+        )
+
+    if name in ("probabilistic", "probabilistic_multires"):
+        mu = jnp.asarray(gmm_means, jnp.float32)
+        cov = jnp.asarray(gmm_covariances, jnp.float32)
+        w = jnp.asarray(gmm_weights, jnp.float32)
+        is_multires = multires or name.endswith("multires")
+
+        def targets(y):
+            resp = jnp.exp(gmm_log_responsibilities(y, mu, cov, w))
+            return {"y": y, "soft": resp, "res": y - resp @ mu}
+
+        def warmup(out, tg):
+            scores, residual = out
+            lc = kl_div_mean(jax.nn.log_softmax(scores, -1), tg["soft"])
+            if is_multires:
+                # every per-cluster delta regresses the shared soft residual
+                lr = mse(residual, tg["res"][:, None, :])
+            else:
+                lr = mse(residual, tg["res"])
+            return lc, lr
+
+        def main(out, tg):
+            scores, residual = out
+            lc = kl_div_mean(jax.nn.log_softmax(scores, -1), tg["soft"])
+            if is_multires:
+                cand = mu[None, :, :] + residual  # (B, K, D)
+            else:
+                cand = mu[None, :, :] + residual[:, None, :]
+            per = jax.vmap(
+                lambda c: geodesic_aa(c, tg["y"], reduce=False),
+                in_axes=1, out_axes=1,
+            )(cand)  # (B, K)
+            probs = jax.nn.softmax(scores, -1)
+            return lc, jnp.mean(jnp.sum(probs * per, axis=-1))
+
+        def decode(out):
+            # expectation decode: dict[argmax] + delta (argmax delta if multires)
+            scores, residual = out
+            ind = jnp.argmax(scores, axis=-1)
+            if is_multires:
+                residual = jnp.take_along_axis(
+                    residual, ind[:, None, None], axis=1
+                )[:, 0]
+            return mu[ind] + residual
+
+        return Problem(name, "axis_angle", targets, warmup, main, decode)
+
+    if name == "riemannian":
+        C = jnp.asarray(centers, jnp.float32)
+        key_R = exp_so3(C)
+
+        def targets(y):
+            bins, res, R = tangent_residual_targets(y, C, key_R)
+            return {"y": y, "bins": bins, "res": res, "R": R}
+
+        def warmup(out, tg):
+            scores, residual = out
+            return cross_entropy(scores, tg["bins"]), mse(residual, tg["res"])
+
+        def main(out, tg):
+            scores, residual = out
+            ind = jnp.argmax(scores, axis=-1)
+            R_pred = key_R[ind] @ exp_so3(residual)
+            return cross_entropy(scores, tg["bins"]), geodesic_rotmat(R_pred, tg["R"])
+
+        def decode(out):
+            scores, residual = out
+            ind = jnp.argmax(scores, axis=-1)
+            return log_so3(key_R[ind] @ exp_so3(residual))
+
+        return Problem(name, "axis_angle", targets, warmup, main, decode)
+
+    if name == "log_euclidean":
+        C = jnp.asarray(centers, jnp.float32)
+        key_R = exp_so3(C)
+
+        def targets(y):
+            bins, _ = hard_bin_targets(y, C)
+            res_per_bin = per_bin_tangent_residuals(y, key_R)  # (B, K, 3)
+            return {"y": y, "bins": bins, "res_per_bin": res_per_bin}
+
+        def losses(out, tg):
+            scores, residual = out
+            ind = jnp.argmax(scores, axis=-1)
+            res_true = jnp.take_along_axis(
+                tg["res_per_bin"], ind[:, None, None], axis=1
+            )[:, 0]
+            return cross_entropy(scores, tg["bins"]), mse(residual, res_true)
+
+        def decode(out):
+            scores, residual = out
+            ind = jnp.argmax(scores, axis=-1)
+            return log_so3(key_R[ind] @ exp_so3(residual))
+
+        return Problem(name, "axis_angle", targets, losses, losses, decode)
+
+    if name == "classification":
+        C = jnp.asarray(centers, jnp.float32)
+
+        def targets(y):
+            bins, _ = hard_bin_targets(y, C)
+            return {"y": y, "bins": bins}
+
+        def losses(out, tg):
+            scores = out if not isinstance(out, tuple) else out[0]
+            return cross_entropy(scores, tg["bins"]), jnp.zeros(())
+
+        def decode(out):
+            scores = out if not isinstance(out, tuple) else out[0]
+            return C[jnp.argmax(scores, axis=-1)]
+
+        return Problem(
+            name, "axis_angle", targets, losses, losses, decode,
+            warmup_balance=None, main_balance=None,
+        )
+
+    if name in ("regression", "regression_quat"):
+        quat = name.endswith("quat")
+        reg = geodesic_quat if quat else geodesic_aa
+
+        def targets(y):
+            return {"y": y}
+
+        def warmup(out, tg):
+            y = out if not isinstance(out, tuple) else out[0]
+            return jnp.zeros(()), mse(y, tg["y"])
+
+        def main(out, tg):
+            y = out if not isinstance(out, tuple) else out[0]
+            return jnp.zeros(()), reg(y, tg["y"])
+
+        return Problem(
+            name,
+            "quaternion" if quat else "axis_angle",
+            targets, warmup, main,
+            lambda out: out if not isinstance(out, tuple) else out[0],
+            warmup_balance=None, main_balance=None,
+        )
+
+    raise ValueError(f"unknown problem {name!r}")

@@ -1,0 +1,111 @@
+"""Compiled train / eval step factories.
+
+One train step = H2D of a uint8 batch + ONE compiled program doing:
+normalize -> euler->pose -> targets -> forward -> loss -> backward ->
+optimizer update -> BN stats update -> self-balance update. Nothing
+crosses back to the host but the metric scalars. This fuses away every
+per-step sync the reference performs (CPU one-hot scatter, `loss.item()`,
+`s = log(Lr)` — learnGeodesicBDModel.py:163-185, SURVEY.md §3.1).
+
+`apply_fn(variables, images, labels, train)` adapts the model-call
+signature (per-class models take labels, independent/joint ones don't) —
+see presets.py for the adaptors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from multi_modal_regression_tpu.data.loader import normalize_images
+from multi_modal_regression_tpu.data.targets import euler_to_pose
+from multi_modal_regression_tpu.losses.self_balance import self_balanced
+from multi_modal_regression_tpu.train.problems import Problem
+from multi_modal_regression_tpu.train.state import TrainState
+
+ApplyFn = Callable[..., Any]
+
+
+def make_train_step(
+    apply_fn: ApplyFn,
+    problem: Problem,
+    tx: optax.GradientTransformation,
+    phase: str = "main",
+    alpha: float = 1.0,
+    axis_name: str | None = None,
+):
+    """Build a jit-able train step for (model, problem, optimizer, phase).
+
+    phase 'warmup' uses problem.warmup_losses/warmup_balance; 'main' uses
+    main_losses/main_balance. When the balance mode is None the loss is the
+    fixed combination Lc + alpha * Lr. `axis_name` is unused under jit-SPMD
+    (XLA inserts the psum) but kept for shard_map-style use.
+    """
+    if phase == "warmup":
+        loss_pair, balance = problem.warmup_losses, problem.warmup_balance
+    elif phase == "main":
+        loss_pair, balance = problem.main_losses, problem.main_balance
+    else:
+        raise ValueError(f"phase must be warmup|main, got {phase!r}")
+
+    def train_step(state: TrainState, batch: dict):
+        images = normalize_images(batch["xdata"])
+        y = euler_to_pose(batch["euler"], problem.ydata_type)
+        tg = problem.targets(y)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            outputs, mutated = apply_fn(
+                variables, images, batch["label"], True,
+            )
+            lc, lr = loss_pair(outputs, tg)
+            if balance is None:
+                loss = lc + alpha * lr
+                s_next = state.s
+            else:
+                loss, s_next = self_balanced(lc, lr, state.s, mode=balance)
+            return loss, (lc, lr, s_next, mutated["batch_stats"])
+
+        (loss, (lc, lr, s_next, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            s=s_next,
+        )
+        metrics = {"loss": loss, "lc": lc, "lr": lr, "s": state.s}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(apply_fn: ApplyFn, problem: Problem):
+    """Build a jit-able eval step: batch -> (ypred, ytrue) on device.
+
+    The decode (dictionary lookup + residual add) runs in-graph, replacing
+    the reference's host-numpy decode per test batch
+    (learnGeodesicBDModel.py:217-219).
+    """
+
+    def eval_step(state: TrainState, batch: dict):
+        images = normalize_images(batch["xdata"])
+        y = euler_to_pose(batch["euler"], problem.ydata_type)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        outputs = apply_fn(variables, images, batch["label"], False)
+        return problem.decode(outputs), y
+
+    return eval_step
+
+
+def jit_train_step(train_step, donate_state: bool = True):
+    """jit with the state donated (updates in place on device)."""
+    return jax.jit(train_step, donate_argnums=(0,) if donate_state else ())

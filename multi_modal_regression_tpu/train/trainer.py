@@ -1,0 +1,245 @@
+"""The generic Trainer: warm-up + main phases, periodic eval, checkpoints.
+
+Replaces the copy-pasted training-loop template shared by ~30 reference
+scripts (SURVEY.md §3.1, learnGeodesicBDModel.py:106-263) with one loop:
+
+  - each step consumes one real batch + one render batch concatenated
+    (the reference zips two DataLoaders and concatenates outputs,
+    learnGeodesicBDModel.py:160-173)
+  - the full step (targets, forward, loss, update, BN stats, balance s)
+    is one compiled program over a data-parallel mesh
+  - eval decodes on device and computes the MedErr headline metric
+    (get_error2 parity) on host
+  - orbax checkpoints carry the FULL state (params + BN stats + optimizer +
+    step + s) and support resume — the reference saves params only
+    (learnGeodesicBDModel.py:231-232)
+  - metrics stream to stdout + a jsonl file under workdir.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import time
+from pathlib import Path
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_modal_regression_tpu.data.loader import BalancedLoader, TestLoader
+from multi_modal_regression_tpu.metrics.pose_error import mean_class_median_error
+from multi_modal_regression_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+)
+from multi_modal_regression_tpu.train.presets import (
+    ExperimentConfig,
+    build_model,
+    build_optimizer,
+    build_problem,
+    make_apply_fn,
+)
+from multi_modal_regression_tpu.train.state import TrainState, create_train_state
+from multi_modal_regression_tpu.train.steps import make_eval_step, make_train_step
+
+
+def _interleave(real_loader, render_loader):
+    """Yield concatenated (real, render) batches; stop at the shorter
+    (zip semantics of the reference, learnGeodesicBDModel.py:160)."""
+    for a, b in zip(real_loader, render_loader):
+        yield {k: np.concatenate([a[k], b[k]]) for k in a}
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        dictionary=None,
+        workdir: str | Path | None = None,
+        mesh=None,
+    ):
+        self.config = config
+        self.workdir = Path(workdir) if workdir else None
+        if self.workdir:
+            self.workdir.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = build_model(config)
+        self.problem = build_problem(config, dictionary)
+        self.tx = build_optimizer(config)
+        self.apply_fn = make_apply_fn(self.model, config)
+
+        self._train_steps = {
+            phase: jax.jit(
+                make_train_step(
+                    self.apply_fn, self.problem, self.tx,
+                    phase=phase, alpha=config.alpha,
+                ),
+                donate_argnums=(0,),
+            )
+            for phase in ("warmup", "main")
+        }
+        self._eval_step = jax.jit(make_eval_step(self.apply_fn, self.problem))
+        self._metrics_file = (
+            open(self.workdir / "metrics.jsonl", "a") if self.workdir else None
+        )
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, rng_seed: int | None = None) -> TrainState:
+        seed = self.config.seed if rng_seed is None else rng_seed
+        cfg = self.config
+        size = cfg.image_size
+        x = jnp.zeros((2, size, size, 3), jnp.float32)
+        label = jnp.zeros((2,), jnp.int32)
+        from multi_modal_regression_tpu.train.presets import _model_takes_label
+
+        args = (x, label) if _model_takes_label(cfg.model_kind) else (x,)
+        variables = self.model.init(jax.random.PRNGKey(seed), *args, train=False)
+        state = create_train_state(variables, self.tx)
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def shard_batch(self, batch: dict) -> dict:
+        from multi_modal_regression_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
+    # -- checkpointing ----------------------------------------------------
+
+    def save_checkpoint(self, state: TrainState, name: str = "last") -> None:
+        if not self.workdir:
+            return
+        import orbax.checkpoint as ocp
+
+        path = (self.workdir / "checkpoints" / name).absolute()
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, jax.device_get(state), force=True)
+
+    def restore_checkpoint(self, name: str = "last") -> TrainState:
+        import orbax.checkpoint as ocp
+
+        path = (self.workdir / "checkpoints" / name).absolute()
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+            jax.device_get(self.init_state()),
+        )
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(path, abstract)
+        return jax.device_put(restored, replicated_sharding(self.mesh))
+
+    # -- logging ----------------------------------------------------------
+
+    def _log(self, record: dict) -> None:
+        if self._metrics_file:
+            self._metrics_file.write(json.dumps(record) + "\n")
+            self._metrics_file.flush()
+
+    # -- training ---------------------------------------------------------
+
+    def run_epoch(
+        self,
+        state: TrainState,
+        real_loader: BalancedLoader,
+        render_loader: BalancedLoader,
+        phase: str,
+        test_loader: TestLoader | None = None,
+        log_every: int = 50,
+    ) -> TrainState:
+        step_fn = self._train_steps[phase]
+        cfg = self.config
+        n_steps = 0
+        t0 = time.time()
+        images_done = 0
+        for batch in _interleave(real_loader, render_loader):
+            batch = self.shard_batch(batch)
+            state, metrics = step_fn(state, batch)
+            n_steps += 1
+            images_done += int(batch["label"].shape[0])
+            step = int(state.step)
+            if n_steps % log_every == 0 or n_steps == 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                rec = {
+                    "step": step, "phase": phase, **m,
+                    "images_per_sec": images_done / max(dt, 1e-9),
+                }
+                print(
+                    f"[{phase}] step {step} loss {m['loss']:.4f} "
+                    f"lc {m['lc']:.4f} lr {m['lr']:.4f} "
+                    f"({rec['images_per_sec']:.1f} img/s)",
+                    flush=True,
+                )
+                self._log(rec)
+            if (
+                test_loader is not None
+                and cfg.eval_every
+                and n_steps % cfg.eval_every == 0
+            ):
+                med = self.evaluate(state, test_loader)
+                print(f"[{phase}] step {step} MedErr {med:.3f} deg", flush=True)
+                self._log({"step": step, "med_err": med})
+            if cfg.max_iterations and n_steps >= cfg.max_iterations:
+                break
+        return state
+
+    def fit(
+        self,
+        state: TrainState,
+        real_loader: BalancedLoader,
+        render_loader: BalancedLoader,
+        test_loader: TestLoader | None = None,
+    ) -> TrainState:
+        cfg = self.config
+        for _ in range(cfg.num_warmup_epochs):
+            state = self.run_epoch(
+                state, real_loader, render_loader, "warmup", test_loader
+            )
+        # the reference resets s between phases (learnGeodesicBDModel.py:244)
+        state = state.replace(s=jnp.zeros((), jnp.float32))
+        for epoch in range(cfg.num_epochs):
+            tic = time.time()
+            state = self.run_epoch(
+                state, real_loader, render_loader, "main", test_loader
+            )
+            self.save_checkpoint(state)
+            if test_loader is not None:
+                med = self.evaluate(state, test_loader)
+                print(
+                    f"Epoch {epoch} done in {time.time() - tic:.1f}s "
+                    f"MedErr {med:.3f} deg",
+                    flush=True,
+                )
+                self._log({"epoch": epoch, "med_err": med})
+        return state
+
+    # -- evaluation -------------------------------------------------------
+
+    def predict(
+        self, state: TrainState, test_loader: TestLoader
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(ytrue, ypred, labels) over the full test set (valid rows only)."""
+        preds, trues, labels = [], [], []
+        for batch in test_loader:
+            valid = batch.pop("valid")
+            ypred, ytrue = self._eval_step(state, self.shard_batch(batch))
+            preds.append(np.asarray(ypred)[valid])
+            trues.append(np.asarray(ytrue)[valid])
+            labels.append(batch["label"][valid])
+        return (
+            np.concatenate(trues),
+            np.concatenate(preds),
+            np.concatenate(labels),
+        )
+
+    def evaluate(self, state: TrainState, test_loader: TestLoader) -> float:
+        """Headline MedErr: mean over classes of per-class median error
+        (get_error2 parity, axisAngle.py:70-95)."""
+        ytrue, ypred, labels = self.predict(state, test_loader)
+        rep = (
+            "quaternion" if self.problem.ydata_type == "quaternion" else "axis_angle"
+        )
+        return mean_class_median_error(
+            ytrue, ypred, labels, self.config.num_classes, representation=rep
+        )

@@ -1,0 +1,179 @@
+"""Training layer: problems, schedules, end-to-end Trainer slice, 1-vs-N mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_modal_regression_tpu.data import (
+    BalancedLoader,
+    ClassBalancedIndex,
+    FlatTestIndex,
+    TestLoader,
+)
+from multi_modal_regression_tpu.dictionary.kmeans import KMeansDictionary
+from multi_modal_regression_tpu.parallel.mesh import make_mesh
+from multi_modal_regression_tpu.tools.synthetic import generate_pose_dataset
+from multi_modal_regression_tpu.train import (
+    Trainer,
+    cyclical_triangular,
+    get_config,
+    is_snapshot_step,
+    make_problem,
+)
+
+CLASSES = ("aeroplane", "bicycle", "boat")
+
+TINY = dict(
+    feature_network="resnet18", feature_layer="layer4",
+    num_classes=len(CLASSES), N0=512, N1=32, N2=16, N3=8,
+    dict_size=5, image_size=32, items_per_batch=2, eval_batch=8,
+    num_warmup_epochs=1, num_epochs=1, max_iterations=2, eval_every=0,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_data")
+    return generate_pose_dataset(
+        root, classes=CLASSES, images_per_class=6, image_size=32, seed=2
+    )
+
+
+@pytest.fixture(scope="module")
+def centers():
+    rng = np.random.default_rng(3)
+    return (0.7 * rng.standard_normal((5, 3))).astype(np.float32)
+
+
+def _loaders(dataset, cfg):
+    real = ClassBalancedIndex(str(dataset), "real", classes=CLASSES)
+    render = ClassBalancedIndex(str(dataset), "render", classes=CLASSES)
+    test = FlatTestIndex(str(dataset), classes=CLASSES)
+    return (
+        BalancedLoader(real, cfg.items_per_batch, cfg.image_size, num_workers=2),
+        BalancedLoader(render, cfg.items_per_batch, cfg.image_size, num_workers=2),
+        TestLoader(test, cfg.eval_batch, cfg.image_size, num_workers=2),
+    )
+
+
+def test_cyclical_schedule_matches_reference_formula():
+    """optax schedule == mySGD's 1-based triangular rate
+    (helperFunctions.py:112-118)."""
+    c, a1, a2 = 10, 1e-6, 1e-8
+    sched = cyclical_triangular(c, a1, a2)
+    for torch_step in range(1, 25):  # reference state['step'] counts from 1
+        t = (np.fmod(torch_step - 1, c) + 1) / c
+        if t <= 0.5:
+            want = (1 - 2 * t) * a1 + 2 * t * a2
+        else:
+            want = 2 * (1 - t) * a2 + (2 * t - 1) * a1
+        got = float(sched(torch_step - 1))  # optax counts from 0
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_snapshot_at_lr_minimum():
+    """Snapshots land where the LR hits alpha2 (count % c == c/2, 1-based)."""
+    c = 8
+    snaps = [s for s in range(30) if is_snapshot_step(s, c)]
+    sched = cyclical_triangular(c)
+    for s in snaps:
+        assert float(sched(s)) == pytest.approx(1e-8, rel=1e-6)
+
+
+@pytest.mark.parametrize(
+    "problem_name",
+    ["simple", "geodesic", "euclidean", "laplacian", "relaxed_kmeans",
+     "riemannian", "log_euclidean", "classification"],
+)
+def test_problem_losses_finite_and_decodable(rng, problem_name, centers):
+    p = make_problem(problem_name, centers)
+    y = jnp.asarray(0.5 * rng.standard_normal((8, 3)), jnp.float32)
+    tg = p.targets(y)
+    scores = jnp.asarray(rng.standard_normal((8, 5)), jnp.float32)
+    residual = jnp.asarray(0.1 * rng.standard_normal((8, 3)), jnp.float32)
+    out = (scores, residual)
+    for losses in (p.warmup_losses, p.main_losses):
+        lc, lr = losses(out, tg)
+        assert np.isfinite(float(lc)) and np.isfinite(float(lr))
+    decoded = p.decode(out)
+    assert decoded.shape[0] == 8 and np.all(np.isfinite(np.asarray(decoded)))
+
+
+def test_problem_geodesic_perfect_prediction_zero_loss(centers):
+    """Decoded == target pose -> regression loss ~ 0."""
+    p = make_problem("geodesic", centers)
+    y = jnp.asarray(centers[:4], jnp.float32)  # poses exactly at atoms
+    tg = p.targets(y)
+    scores = jax.nn.one_hot(tg["bins"], 5) * 10.0
+    residual = jnp.zeros((4, 3), jnp.float32)
+    _, lr = p.main_losses((scores, residual), tg)
+    assert float(lr) < 1e-2  # eps-clamped acos floor
+
+
+def test_trainer_end_to_end_slice(dataset, centers, tmp_path):
+    """The minimum end-to-end slice: warmup + main on synthetic data,
+    eval returns a finite MedErr, checkpoint roundtrips."""
+    cfg = get_config("geodesic_bd", **TINY)
+    trainer = Trainer(
+        cfg, dictionary=KMeansDictionary(cluster_centers=centers),
+        workdir=tmp_path / "run",
+    )
+    real, render, test = _loaders(dataset, cfg)
+    state = trainer.init_state()
+    state = trainer.fit(state, real, render, test_loader=None)
+    assert int(state.step) == 2 * (cfg.num_warmup_epochs + cfg.num_epochs)
+    med = trainer.evaluate(state, test)
+    assert np.isfinite(med) and 0 <= med <= 180
+    # checkpoint roundtrip restores the exact state
+    trainer.save_checkpoint(state, "test")
+    restored = trainer.restore_checkpoint("test")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        jax.device_get(state.params), jax.device_get(restored.params),
+    )
+    assert int(restored.step) == int(state.step)
+
+
+def test_trainer_loss_decreases_overfit(dataset, centers, tmp_path):
+    """Overfit-a-batch: repeated steps on the same data reduce the loss."""
+    cfg = get_config(
+        "simple_bd", **{**TINY, "max_iterations": 1, "init_lr": 1e-3}
+    )
+    trainer = Trainer(cfg, dictionary=KMeansDictionary(cluster_centers=centers))
+    real, render, _ = _loaders(dataset, cfg)
+    batch = next(iter(real))
+    batch = trainer.shard_batch(batch)
+    state = trainer.init_state()
+    step = trainer._train_steps["warmup"]
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["lc"]) + float(metrics["lr"]))
+    assert losses[-1] < losses[0]
+
+
+def test_one_vs_n_device_equivalence(dataset, centers):
+    """The same batch gives the same loss on a 1-device and an 8-device mesh."""
+    cfg = get_config("geodesic_bd", **TINY)
+    dict_ = KMeansDictionary(cluster_centers=centers)
+    real, _, _ = _loaders(dataset, cfg)
+    batch = next(iter(real))  # 6 images; pad to 8 for the 8-way mesh
+    batch = {
+        k: np.concatenate([v, v[:2]]) for k, v in batch.items()
+    }
+    metrics_by_mesh = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(jax.devices()[:n_dev])
+        trainer = Trainer(cfg, dictionary=dict_, mesh=mesh)
+        state = trainer.init_state()
+        state, metrics = trainer._train_steps["main"](
+            state, trainer.shard_batch(batch)
+        )
+        metrics_by_mesh[n_dev] = {k: float(v) for k, v in metrics.items()}
+    for k in metrics_by_mesh[1]:
+        np.testing.assert_allclose(
+            metrics_by_mesh[1][k], metrics_by_mesh[8][k], rtol=2e-4, atol=1e-5
+        )
