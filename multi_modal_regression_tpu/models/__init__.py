@@ -27,6 +27,7 @@ from multi_modal_regression_tpu.models.joint import (
     class_weights,
     mix_heads,
 )
+from multi_modal_regression_tpu.models.surgery import graft_oracle_into_joint
 from multi_modal_regression_tpu.models.pose import (
     PerClassRegressionModel,
     PerClassClassificationModel,
@@ -56,6 +57,7 @@ __all__ = [
     "ElhoseinyRegressionModel",
     "class_weights",
     "mix_heads",
+    "graft_oracle_into_joint",
     "OneBinDeltaModel",
     "OneDeltaPerBinModel",
     "ProbabilisticOneDeltaPerBinModel",

@@ -15,6 +15,14 @@ from multi_modal_regression_tpu.train.schedules import (
     cyclical_triangular,
     is_snapshot_step,
 )
+from multi_modal_regression_tpu.train.evaluator import (
+    SnapshotEnsembleEvaluator,
+    ensemble_poses,
+)
+from multi_modal_regression_tpu.train.joint_problems import (
+    make_joint_problem,
+    masked_cross_entropy,
+)
 from multi_modal_regression_tpu.train.state import TrainState, create_train_state
 from multi_modal_regression_tpu.train.steps import make_eval_step, make_train_step
 from multi_modal_regression_tpu.train.trainer import Trainer
@@ -32,6 +40,10 @@ __all__ = [
     "cyclical_sgd",
     "cyclical_triangular",
     "is_snapshot_step",
+    "SnapshotEnsembleEvaluator",
+    "ensemble_poses",
+    "make_joint_problem",
+    "masked_cross_entropy",
     "TrainState",
     "create_train_state",
     "make_eval_step",

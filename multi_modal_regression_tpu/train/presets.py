@@ -13,20 +13,32 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
 from multi_modal_regression_tpu.models import (
+    CategorizationModel,
+    ElhoseinyBDModel,
+    ElhoseinyRegressionModel,
     IndependentBDModel,
     IndependentRegressionModel,
+    JointCatPoseBDModel,
+    JointCatPoseBDModel2,
+    JointCatPoseRegModel,
     OneBinDeltaModel,
     OneDeltaPerBinModel,
     PerClassClassificationModel,
     PerClassRegressionModel,
     ProbabilisticOneDeltaPerBinModel,
 )
+from multi_modal_regression_tpu.train.joint_problems import make_joint_problem
 from multi_modal_regression_tpu.train.problems import Problem, make_problem
+
+JOINT_PROBLEMS = (
+    "joint_bd", "joint_reg", "elhoseiny_bd", "elhoseiny_reg", "category"
+)
 
 
 @dataclasses.dataclass
@@ -50,8 +62,13 @@ class ExperimentConfig:
     # problem / loss
     problem: str = "geodesic"
     self_balance: bool = True  # False -> fixed loss Lc + alpha * Lr
-    alpha: float = 1.0  # fixed Lr weight when self-balance is off
+    alpha: float = 1.0  # fixed main-phase Lr weight when self-balance is off
+    warmup_alpha: float = 1.0  # fixed warmup-phase Lr weight
     gamma: float = 10.0  # RBF soft-bin width
+    mixing: str = "top1"  # joint models: 'top1' | 'top1_st' | 'weighted'
+    # restrict training to these top-level param collections (None = all),
+    # e.g. ("fc",) for learnCatGivenPoseModel.py:108-126's frozen oracle
+    train_only: tuple[str, ...] | None = None
     # optimization (reference defaults: learnGeodesicBDModel.py:41-42,96)
     init_lr: float = 1e-4
     num_warmup_epochs: int = 1
@@ -109,6 +126,34 @@ def build_model(cfg: ExperimentConfig):
         return IndependentBDModel(
             **common, num_clusters=cfg.dict_size, N3=cfg.N3, ndim=cfg.ndim
         )
+    if k == "joint_bd_v1":
+        return JointCatPoseBDModel(
+            **common, num_clusters=cfg.dict_size, N3=cfg.N3, ndim=cfg.ndim,
+            multires=cfg.multires, mixing=cfg.mixing,
+        )
+    if k == "joint_bd_v2":
+        v2 = dict(common)
+        v2.pop("feature_network")
+        v2.pop("feature_layer")
+        return JointCatPoseBDModel2(
+            **v2, arch=cfg.feature_network, num_clusters=cfg.dict_size,
+            N3=cfg.N3, ndim=cfg.ndim, multires=cfg.multires, mixing=cfg.mixing,
+        )
+    if k == "joint_reg_v3":
+        return JointCatPoseRegModel(
+            **common, ndim=cfg.ndim, mixing=cfg.mixing,
+            nonlinearity=cfg.nonlinearity,
+        )
+    if k == "elhoseiny_bd":
+        return ElhoseinyBDModel(
+            **common, num_clusters=cfg.dict_size, N3=cfg.N3, ndim=cfg.ndim
+        )
+    if k == "elhoseiny_reg":
+        return ElhoseinyRegressionModel(
+            **common, ndim=cfg.ndim, nonlinearity=cfg.nonlinearity
+        )
+    if k == "categorization":
+        return CategorizationModel(**common)
     raise ValueError(f"unknown model_kind {cfg.model_kind!r}")
 
 
@@ -129,11 +174,11 @@ def make_apply_fn(model, cfg: ExperimentConfig):
 
 def build_problem(cfg: ExperimentConfig, dictionary: Any = None) -> Problem:
     """dictionary: KMeansDictionary / GMMDictionary / raw (K, D) centers."""
-    kw: dict = {"gamma": cfg.gamma, "multires": cfg.multires}
     centers = None
+    gmm_kw: dict = {}
     if dictionary is not None:
         if hasattr(dictionary, "means"):  # GMM
-            kw.update(
+            gmm_kw = dict(
                 gmm_means=dictionary.means,
                 gmm_covariances=dictionary.covariances,
                 gmm_weights=dictionary.weights,
@@ -143,7 +188,18 @@ def build_problem(cfg: ExperimentConfig, dictionary: Any = None) -> Problem:
             centers = dictionary.cluster_centers
         else:
             centers = np.asarray(dictionary)
-    problem = make_problem(cfg.problem, centers, **kw)
+    if cfg.problem in JOINT_PROBLEMS:
+        # variant 2 computes the category CE on ALL images; 1/3 on real only
+        # (learnJointCatPoseModel2_weighted.py:171 vs _top1.py:176)
+        problem = make_joint_problem(
+            cfg.problem, centers,
+            cat_on_real_only=cfg.model_kind != "joint_bd_v2",
+        )
+    else:
+        problem = make_problem(
+            cfg.problem, centers,
+            gamma=cfg.gamma, multires=cfg.multires, **gmm_kw,
+        )
     if not cfg.self_balance:
         problem = dataclasses.replace(
             problem, warmup_balance=None, main_balance=None
@@ -152,7 +208,22 @@ def build_problem(cfg: ExperimentConfig, dictionary: Any = None) -> Problem:
 
 
 def build_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
-    return optax.adam(cfg.init_lr)
+    tx = optax.adam(cfg.init_lr)
+    if cfg.train_only is not None:
+        # freeze everything outside the named top-level param collections
+        # (learnCatGivenPoseModel.py:108-126 trains only the new fc)
+        keep = set(cfg.train_only)
+
+        def label_fn(params):
+            return {
+                k: jax.tree.map(lambda _: "train" if k in keep else "freeze", v)
+                for k, v in params.items()
+            }
+
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, label_fn
+        )
+    return tx
 
 
 # ---------------------------------------------------------------------------
@@ -215,6 +286,60 @@ PRESETS: dict[str, dict] = {
     "rendered_bd": dict(
         model_kind="independent_bd", problem="geodesic", dict_size=16,
         alpha=10.0, self_balance=False,
+    ),
+    # learnJointCatPoseModel_{top1,weighted}.py / _top1_new.py ('top1_st')
+    "joint_cat_pose_top1": dict(
+        model_kind="joint_bd_v1", problem="joint_bd", mixing="top1",
+        self_balance=False,
+    ),
+    "joint_cat_pose_top1_st": dict(
+        model_kind="joint_bd_v1", problem="joint_bd", mixing="top1_st",
+        self_balance=False,
+    ),
+    "joint_cat_pose_weighted": dict(
+        model_kind="joint_bd_v1", problem="joint_bd", mixing="weighted",
+        self_balance=False,
+    ),
+    # learnJointCatPoseModel2_{top1,weighted}.py (separate category layer4)
+    "joint_cat_pose2_top1": dict(
+        model_kind="joint_bd_v2", problem="joint_bd", mixing="top1",
+        self_balance=False,
+    ),
+    "joint_cat_pose2_weighted": dict(
+        model_kind="joint_bd_v2", problem="joint_bd", mixing="weighted",
+        self_balance=False,
+    ),
+    # learnJointCatPoseModel3_{top1,weighted}.py (regression oracle)
+    "joint_cat_pose3_top1": dict(
+        model_kind="joint_reg_v3", problem="joint_reg", mixing="top1",
+        self_balance=False,
+    ),
+    "joint_cat_pose3_weighted": dict(
+        model_kind="joint_reg_v3", problem="joint_reg", mixing="weighted",
+        self_balance=False,
+    ),
+    # learnElhoseinyBDModel.py / learnElhoseinyRegressionModel.py
+    "elhoseiny_bd": dict(
+        model_kind="elhoseiny_bd", problem="elhoseiny_bd", dict_size=50,
+        alpha=10.0, self_balance=False,
+    ),
+    "elhoseiny_regression": dict(
+        model_kind="elhoseiny_reg", problem="elhoseiny_reg",
+        self_balance=False,
+    ),
+    # learnCategorizationModel.py (12-way category classifier)
+    "categorization": dict(
+        model_kind="categorization", problem="category", self_balance=False,
+    ),
+    # learnCatGivenPoseModel.py — category fc trained on a FROZEN BD oracle
+    "cat_given_pose": dict(
+        model_kind="joint_bd_v1", problem="category", self_balance=False,
+        train_only=("fc",),
+    ),
+    # learnCatGivenPoseModel3.py — frozen regression oracle
+    "cat_given_pose3": dict(
+        model_kind="joint_reg_v3", problem="category", self_balance=False,
+        train_only=("fc",),
     ),
 }
 

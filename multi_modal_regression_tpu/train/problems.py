@@ -82,6 +82,8 @@ class Problem:
     # self-balance modes for the two phases ('warmup' | 'main' | None=fixed)
     warmup_balance: str | None = "warmup"
     main_balance: str | None = "main"
+    # headline eval metric: 'pose' (MedErr) or 'category_accuracy'
+    metric: str = "pose"
 
 
 def _decode_hard(scores, residual, centers):

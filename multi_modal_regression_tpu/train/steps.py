@@ -55,7 +55,14 @@ def make_train_step(
     def train_step(state: TrainState, batch: dict):
         images = normalize_images(batch["xdata"])
         y = euler_to_pose(batch["euler"], problem.ydata_type)
-        tg = problem.targets(y)
+        tg = dict(problem.targets(y))
+        # joint cat+pose objectives also see the class labels and which rows
+        # are real images (the reference computes the category CE on real
+        # images only, learnJointCatPoseModel_top1.py:176)
+        tg["class_label"] = batch["label"]
+        tg["is_real"] = batch.get(
+            "is_real", jnp.ones_like(batch["label"], dtype=bool)
+        )
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}

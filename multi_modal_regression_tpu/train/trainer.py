@@ -48,9 +48,15 @@ from multi_modal_regression_tpu.train.steps import make_eval_step, make_train_st
 
 def _interleave(real_loader, render_loader):
     """Yield concatenated (real, render) batches; stop at the shorter
-    (zip semantics of the reference, learnGeodesicBDModel.py:160)."""
+    (zip semantics of the reference, learnGeodesicBDModel.py:160). Adds an
+    'is_real' row mask — joint objectives compute the category CE on real
+    rows only (learnJointCatPoseModel_top1.py:176)."""
     for a, b in zip(real_loader, render_loader):
-        yield {k: np.concatenate([a[k], b[k]]) for k in a}
+        out = {k: np.concatenate([a[k], b[k]]) for k in a}
+        out["is_real"] = np.concatenate(
+            [np.ones(len(a["label"]), bool), np.zeros(len(b["label"]), bool)]
+        )
+        yield out
 
 
 class Trainer:
@@ -75,7 +81,8 @@ class Trainer:
             phase: jax.jit(
                 make_train_step(
                     self.apply_fn, self.problem, self.tx,
-                    phase=phase, alpha=config.alpha,
+                    phase=phase,
+                    alpha=config.alpha if phase == "main" else config.warmup_alpha,
                 ),
                 donate_argnums=(0,),
             )
@@ -234,9 +241,16 @@ class Trainer:
         )
 
     def evaluate(self, state: TrainState, test_loader: TestLoader) -> float:
-        """Headline MedErr: mean over classes of per-class median error
-        (get_error2 parity, axisAngle.py:70-95)."""
+        """Headline metric: MedErr (get_error2 parity, axisAngle.py:70-95)
+        for pose problems, mean per-class accuracy for category problems
+        (helperFunctions.get_accuracy)."""
         ytrue, ypred, labels = self.predict(state, test_loader)
+        if self.problem.metric == "category_accuracy":
+            from multi_modal_regression_tpu.metrics.pose_error import (
+                mean_class_accuracy,
+            )
+
+            return mean_class_accuracy(labels, ypred, self.config.num_classes)
         rep = (
             "quaternion" if self.problem.ydata_type == "quaternion" else "axis_angle"
         )
