@@ -1,0 +1,272 @@
+"""Command-line interface.
+
+Replaces the reference's ~50 flat scripts with four subcommands over the
+preset system (flag names follow the reference where they exist —
+learnGeodesicBDModel.py:28-45):
+
+  train         python -m multi_modal_regression_tpu.cli train \\
+                    --preset geodesic_bd --data-root data/ \\
+                    --dictionary data/kmeans_200.npz --save-str g0
+  evaluate      snapshot-ensemble protocol (evaluate*.py): fine-tune from a
+                checkpoint with cyclical LR, snapshot at LR minima, ensemble
+  dictionary    learn a kmeans/GMM pose dictionary from render filenames
+                (learnKmeansDictionary.py / learnGMMDictionary.py)
+  prepare-data  synthetic dataset generation (tests / smoke runs)
+
+Data layout (reference convention): <data-root>/<real-subdir>/<class>/*.png
+with filename-encoded poses, same for render and test subdirs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def _add_common_data_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data-root", type=str, required=True)
+    p.add_argument("--real-subdir", type=str, default="augmented2")
+    p.add_argument("--render-subdir", type=str, default="renderforcnn")
+    p.add_argument("--test-subdir", type=str, default="test")
+    p.add_argument("--num-workers", type=int, default=8)
+
+
+def _add_config_overrides(p: argparse.ArgumentParser) -> None:
+    # reference flag spellings kept where they exist
+    p.add_argument("--save-str", type=str, default="run")
+    p.add_argument("--dict-size", type=int, default=None)
+    p.add_argument("--N0", type=int, default=None)
+    p.add_argument("--N1", type=int, default=None)
+    p.add_argument("--N2", type=int, default=None)
+    p.add_argument("--N3", type=int, default=None)
+    p.add_argument("--init-lr", type=float, default=None)
+    p.add_argument("--num-epochs", type=int, default=None)
+    p.add_argument("--num-warmup-epochs", type=int, default=None)
+    p.add_argument("--max-iterations", type=int, default=None)
+    p.add_argument("--items-per-batch", type=int, default=None)
+    p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--feature-network", type=str, default=None)
+    p.add_argument("--feature-layer", type=str, default=None)
+    p.add_argument("--multires", action="store_true", default=None)
+    p.add_argument("--compute-dtype", type=str, default=None,
+                   choices=("float32", "bfloat16"))
+    p.add_argument("--workdir", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+
+
+def _config_from_args(args) -> "object":
+    from multi_modal_regression_tpu.train import get_config
+
+    overrides = {}
+    for field in (
+        "dict_size", "N0", "N1", "N2", "N3", "init_lr", "num_epochs",
+        "num_warmup_epochs", "max_iterations", "items_per_batch",
+        "image_size", "feature_network", "feature_layer", "multires",
+        "compute_dtype",
+    ):
+        v = getattr(args, field)
+        if v is not None:
+            overrides[field] = v
+    return get_config(args.preset, **overrides)
+
+
+def _load_dictionary(path: str | None):
+    if path is None:
+        return None
+    import numpy as np
+
+    from multi_modal_regression_tpu.dictionary.gmm import GMMDictionary
+    from multi_modal_regression_tpu.dictionary.kmeans import KMeansDictionary
+
+    with np.load(path) as f:
+        keys = set(f.files)
+    if "means" in keys:
+        return GMMDictionary.load(path)
+    return KMeansDictionary.load(path)
+
+
+def _make_loaders(args, cfg):
+    from multi_modal_regression_tpu.data import (
+        BalancedLoader,
+        ClassBalancedIndex,
+        FlatTestIndex,
+        TestLoader,
+    )
+
+    root = Path(args.data_root)
+    real = ClassBalancedIndex(str(root / args.real_subdir), "real")
+    render = ClassBalancedIndex(str(root / args.render_subdir), "render")
+    test = FlatTestIndex(str(root / args.test_subdir))
+    mk = lambda idx: BalancedLoader(
+        idx, cfg.items_per_batch, cfg.image_size,
+        num_workers=args.num_workers, seed=cfg.seed,
+    )
+    return (
+        mk(real), mk(render),
+        TestLoader(test, cfg.eval_batch, cfg.image_size,
+                   num_workers=args.num_workers),
+    )
+
+
+def cmd_train(args) -> int:
+    from multi_modal_regression_tpu.train import Trainer
+
+    cfg = _config_from_args(args)
+    workdir = args.workdir or f"runs/{args.save_str}"
+    trainer = Trainer(
+        cfg, dictionary=_load_dictionary(args.dictionary), workdir=workdir
+    )
+    real, render, test = _make_loaders(args, cfg)
+    if args.resume:
+        state = trainer.restore_checkpoint()
+        print(f"resumed from step {int(state.step)}", flush=True)
+    else:
+        state = trainer.init_state()
+        if args.pretrained_backbone:
+            state = _load_pretrained(trainer, state, args.pretrained_backbone)
+    state = trainer.fit(state, real, render, test_loader=test)
+    trainer.save_checkpoint(state, "final")
+    med = trainer.evaluate(state, test)
+    print(f"final MedErr: {med:.4f} deg", flush=True)
+    return 0
+
+
+def _load_pretrained(trainer, state, path: str):
+    from multi_modal_regression_tpu.models.pretrained import (
+        load_torchvision_backbone,
+    )
+
+    params, batch_stats = load_torchvision_backbone(
+        path, trainer.config.feature_network
+    )
+    new_params = dict(state.params)
+    new_params["feature_model"] = params
+    new_stats = dict(state.batch_stats)
+    new_stats["feature_model"] = batch_stats
+    print(f"loaded pretrained backbone from {path}", flush=True)
+    return state.replace(params=new_params, batch_stats=new_stats)
+
+
+def cmd_evaluate(args) -> int:
+    from multi_modal_regression_tpu.train import SnapshotEnsembleEvaluator, Trainer
+
+    cfg = _config_from_args(args)
+    workdir = args.workdir or f"runs/{args.save_str}"
+    trainer = Trainer(
+        cfg, dictionary=_load_dictionary(args.dictionary), workdir=workdir
+    )
+    real, render, test = _make_loaders(args, cfg)
+    state = trainer.restore_checkpoint(args.checkpoint)
+    ev = SnapshotEnsembleEvaluator(
+        trainer, workdir=Path(workdir) / f"results_{args.save_str}"
+    )
+    ev.run(state, real, render, test, num_epochs=args.eval_num_epochs)
+    med, _ = ev.ensemble()
+    per_snap = [round(s.med_err, 4) for s in ev.snapshots]
+    print(f"snapshot MedErrs: {per_snap}", flush=True)
+    print(f"ensembled MedErr: {med:.4f} deg", flush=True)
+    return 0
+
+
+def cmd_dictionary(args) -> int:
+    import numpy as np
+
+    from multi_modal_regression_tpu.data import ClassBalancedIndex, parse_name
+    from multi_modal_regression_tpu.data.targets import euler_to_pose
+
+    # gather all render poses from filenames (learnKmeansDictionary.py:25-37)
+    index = ClassBalancedIndex(args.data_root, "render")
+    eulers = []
+    for c in range(index.num_classes):
+        for name in index.list_image_names[c]:
+            p = parse_name(name)
+            eulers.append((p.az, p.el, -p.ct))
+    import jax.numpy as jnp
+
+    y = np.asarray(
+        euler_to_pose(jnp.asarray(np.asarray(eulers, np.float32)))
+    )
+    print(f"{len(y)} poses parsed", flush=True)
+    if args.type == "kmeans":
+        from multi_modal_regression_tpu.dictionary.kmeans import fit_kmeans
+
+        d = fit_kmeans(y, args.size, seed=args.seed)
+        print(f"kmeans fitted: inertia {d.inertia:.4f}", flush=True)
+    else:
+        from multi_modal_regression_tpu.dictionary.gmm import fit_gmm
+
+        d = fit_gmm(y, args.size, seed=args.seed)
+        print(f"gmm fitted: log-likelihood {d.log_likelihood:.4f}", flush=True)
+    d.save(args.out)
+    # reload sanity check (learnKmeansDictionary.py:49-53)
+    reloaded = _load_dictionary(args.out)
+    n = getattr(reloaded, "n_clusters", None) or reloaded.n_components
+    print(f"saved {args.out} ({n} atoms); reload OK", flush=True)
+    return 0
+
+
+def cmd_prepare_data(args) -> int:
+    from multi_modal_regression_tpu.tools.synthetic import generate_pose_dataset
+
+    for sub in (args.real_subdir, args.render_subdir, args.test_subdir):
+        root = generate_pose_dataset(
+            Path(args.out) / sub,
+            images_per_class=args.images_per_class,
+            image_size=args.image_size,
+            seed=args.seed + hash(sub) % 1000,
+        )
+        print(f"wrote {root}", flush=True)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="multi_modal_regression_tpu.cli")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    from multi_modal_regression_tpu.train.presets import PRESETS
+
+    p_train = sub.add_parser("train", help="train a preset")
+    p_train.add_argument("--preset", choices=sorted(PRESETS), required=True)
+    p_train.add_argument("--dictionary", type=str, default=None,
+                         help="pose dictionary .npz (kmeans or gmm)")
+    p_train.add_argument("--pretrained-backbone", type=str, default=None,
+                         help="torchvision state_dict .pth for the backbone")
+    _add_common_data_args(p_train)
+    _add_config_overrides(p_train)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_eval = sub.add_parser("evaluate", help="snapshot-ensemble evaluation")
+    p_eval.add_argument("--preset", choices=sorted(PRESETS), required=True)
+    p_eval.add_argument("--dictionary", type=str, default=None)
+    p_eval.add_argument("--checkpoint", type=str, default="last")
+    p_eval.add_argument("--eval-num-epochs", type=int, default=None)
+    _add_common_data_args(p_eval)
+    _add_config_overrides(p_eval)
+    p_eval.set_defaults(fn=cmd_evaluate)
+
+    p_dict = sub.add_parser("dictionary", help="learn a pose dictionary")
+    p_dict.add_argument("--type", choices=("kmeans", "gmm"), default="kmeans")
+    p_dict.add_argument("--data-root", type=str, required=True,
+                        help="render image tree (poses parsed from filenames)")
+    p_dict.add_argument("--size", type=int, default=200)
+    p_dict.add_argument("--out", type=str, required=True)
+    p_dict.add_argument("--seed", type=int, default=0)
+    p_dict.set_defaults(fn=cmd_dictionary)
+
+    p_prep = sub.add_parser("prepare-data", help="generate synthetic data")
+    p_prep.add_argument("--out", type=str, required=True)
+    p_prep.add_argument("--real-subdir", type=str, default="augmented2")
+    p_prep.add_argument("--render-subdir", type=str, default="renderforcnn")
+    p_prep.add_argument("--test-subdir", type=str, default="test")
+    p_prep.add_argument("--images-per-class", type=int, default=8)
+    p_prep.add_argument("--image-size", type=int, default=64)
+    p_prep.add_argument("--seed", type=int, default=0)
+    p_prep.set_defaults(fn=cmd_prepare_data)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -15,6 +15,7 @@ from multi_modal_regression_tpu.data.loader import (
     IMAGENET_MEAN,
     IMAGENET_STD,
     BalancedLoader,
+    FlatLoader,
     TestLoader,
     decode_image,
     normalize_images,
@@ -41,6 +42,7 @@ __all__ = [
     "IMAGENET_MEAN",
     "IMAGENET_STD",
     "BalancedLoader",
+    "FlatLoader",
     "TestLoader",
     "decode_image",
     "normalize_images",

@@ -164,6 +164,59 @@ class BalancedLoader:
         )
 
 
+class FlatLoader:
+    """Shuffled fixed-size training batches over a FlatTestIndex.
+
+    The ObjectNet3D protocol trains from a flat per-image dataset
+    (DataLoader(batch_size=96, shuffle=True), learnObjectnetBDModel.py:74)
+    instead of the class-balanced ImagesAll sampler. Drop-last for static
+    shapes. Yields {'xdata' uint8, 'euler', 'label'}.
+    """
+
+    def __init__(
+        self,
+        index,
+        batch_size: int = 96,
+        image_size: int = 224,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch_depth: int = 2,
+    ):
+        self.index = index
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.prefetch_depth = prefetch_depth
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.index) // self.batch_size
+
+    def _gen(self, pool: cf.Executor) -> Iterator[dict]:
+        n = len(self.index)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        for start in range(0, len(self) * self.batch_size, self.batch_size):
+            ids = order[start : start + self.batch_size]
+            images = list(
+                pool.map(
+                    lambda i: decode_image(self.index.path(int(i)), self.image_size),
+                    ids,
+                )
+            )
+            yield {
+                "xdata": np.stack(images),
+                "euler": np.stack(
+                    [self.index.euler(int(i)) for i in ids]
+                ).astype(np.float32),
+                "label": self.index.labels[ids].astype(np.int32),
+            }
+
+    def __iter__(self) -> Iterator[dict]:
+        yield from _prefetched(self._gen, self.num_workers, self.prefetch_depth)
+
+
 class TestLoader:
     """Fixed-size batches over a FlatTestIndex, padded for static shapes.
 

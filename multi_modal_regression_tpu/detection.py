@@ -1,0 +1,187 @@
+"""Detection-conditioned pose inference (evaluateModelDetectedBBoxes.py).
+
+The reference iterates images one by one, splitting each image's variable
+box count into --batch_size chunks and syncing to host per chunk
+(evaluateModelDetectedBBoxes.py:135-171). Here all detector crops are
+flattened into ONE padded static-shape stream: a single jitted
+forward+decode program processes fixed-size batches regardless of per-image
+box counts, and predictions are scattered back to per-image lists at the
+end. Output matches the reference's results .mat ({bbox, ypred, labels},
+:174-189) and feeds metrics.detection.compute_detection_metrics (the
+AVP/ARP Python port) directly.
+
+On-disk layout (written by the setupDataDetection_* MATLAB scripts and by
+tools.detection_crops): `<det_path>/dbinfo.mat` with `image_names`, and
+`<det_path>/all/<image>.mat` with `xdata` (n, 224, 224, 3) uint8, `bboxes`
+(n, 4), `labels` (n,) 1-based class ids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Callable, Sequence
+
+import jax
+import numpy as np
+
+from multi_modal_regression_tpu.data.loader import normalize_images
+from multi_modal_regression_tpu.train.problems import Problem
+from multi_modal_regression_tpu.train.state import TrainState
+
+
+@dataclasses.dataclass
+class DetectionSetIndex:
+    """Index over a detector's crop set (`dbinfo.mat` + `all/*.mat`)."""
+
+    db_path: str
+
+    def __post_init__(self):
+        import scipy.io as spio
+
+        tmp = spio.loadmat(
+            os.path.join(self.db_path, "dbinfo.mat"), squeeze_me=True
+        )
+        names = tmp["image_names"]
+        if isinstance(names, str):
+            names = [names]
+        self.image_names = [str(n).strip() for n in names]
+
+    def __len__(self) -> int:
+        return len(self.image_names)
+
+    def load_image(self, idx: int) -> dict | None:
+        """{'xdata' uint8 (n,S,S,3), 'bboxes' (n,4), 'labels' (n,) 0-based}
+        or None for images with no detections."""
+        import scipy.io as spio
+
+        tmp = spio.loadmat(
+            os.path.join(self.db_path, "all", self.image_names[idx] + ".mat"),
+            verify_compressed_data_integrity=False,
+        )
+        xdata = np.asarray(tmp["xdata"])
+        if xdata.size == 0:
+            return None
+        return {
+            "xdata": xdata.astype(np.uint8),
+            "bboxes": np.asarray(tmp["bboxes"], np.float64).reshape(-1, 4),
+            # reference labels are 1-based MATLAB ids (:60)
+            "labels": np.asarray(tmp["labels"], np.int64).ravel() - 1,
+        }
+
+
+def run_detection_inference(
+    apply_fn: Callable,
+    problem: Problem,
+    state: TrainState,
+    index: DetectionSetIndex,
+    batch_size: int = 64,
+) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
+    """Per-image (bboxes, ypred, labels) lists over a detection set."""
+
+    @jax.jit
+    def _predict(xdata, label):
+        images = normalize_images(xdata)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        outputs = apply_fn(variables, images, label, False)
+        return problem.decode(outputs)
+
+    # flatten all crops into one stream
+    all_x, all_l, owners = [], [], []
+    per_image: list[dict | None] = []
+    for i in range(len(index)):
+        sample = index.load_image(i)
+        per_image.append(sample)
+        if sample is None:
+            continue
+        all_x.append(sample["xdata"])
+        all_l.append(sample["labels"])
+        owners.append(np.full(len(sample["labels"]), i))
+    if not all_x:
+        empty = [np.array([]) for _ in range(len(index))]
+        return empty, list(empty), list(empty)
+
+    X = np.concatenate(all_x)
+    L = np.concatenate(all_l).astype(np.int32)
+    O = np.concatenate(owners)
+    n = len(X)
+
+    preds = []
+    for start in range(0, n, batch_size):
+        xb = X[start : start + batch_size]
+        lb = L[start : start + batch_size]
+        pad = batch_size - len(xb)
+        if pad:  # static shapes: pad the tail batch
+            xb = np.concatenate([xb, np.zeros((pad, *xb.shape[1:]), xb.dtype)])
+            lb = np.concatenate([lb, np.zeros(pad, np.int32)])
+        yp = np.asarray(_predict(xb, lb))
+        preds.append(yp[: batch_size - pad] if pad else yp)
+    Y = np.concatenate(preds)
+
+    bboxes_out, ypred_out, labels_out = [], [], []
+    for i, sample in enumerate(per_image):
+        if sample is None:
+            bboxes_out.append(np.array([]))
+            ypred_out.append(np.array([]))
+            labels_out.append(np.array([]))
+        else:
+            sel = O == i
+            bboxes_out.append(sample["bboxes"])
+            ypred_out.append(Y[sel])
+            labels_out.append(sample["labels"])
+    return bboxes_out, ypred_out, labels_out
+
+
+def save_results_mat(
+    path: str | Path,
+    bboxes: Sequence[np.ndarray],
+    ypred: Sequence[np.ndarray],
+    labels: Sequence[np.ndarray],
+) -> None:
+    """Write the reference-format results file ({bbox, ypred, labels} cell
+    arrays, evaluateModelDetectedBBoxes.py:176)."""
+    import scipy.io as spio
+
+    bb = np.empty(len(bboxes), object)
+    yp = np.empty(len(ypred), object)
+    lb = np.empty(len(labels), object)
+    for i in range(len(bboxes)):
+        bb[i], yp[i], lb[i] = bboxes[i], ypred[i], labels[i]
+    spio.savemat(str(path), {"bbox": bb, "ypred": yp, "labels": lb})
+
+
+def detections_per_class(
+    bboxes: Sequence[np.ndarray],
+    ypred: Sequence[np.ndarray],
+    labels: Sequence[np.ndarray],
+    scores: Sequence[np.ndarray] | None,
+    class_id: int,
+):
+    """Group flat per-image results into metrics.detection.ImageDetections
+    for one class (scores default to 1.0 — the reference's detectors store
+    ranked boxes; pass real scores when available)."""
+    from multi_modal_regression_tpu.metrics.detection import ImageDetections
+
+    out = []
+    for i in range(len(bboxes)):
+        if len(labels[i]) == 0:
+            out.append(None)
+            continue
+        sel = np.asarray(labels[i]).ravel() == class_id
+        if not np.any(sel):
+            out.append(None)
+            continue
+        s = (
+            np.asarray(scores[i]).ravel()[sel]
+            if scores is not None
+            else np.ones(int(sel.sum()))
+        )
+        out.append(
+            ImageDetections(
+                boxes=np.asarray(bboxes[i]).reshape(-1, 4)[sel],
+                scores=s,
+                poses=np.asarray(ypred[i])[sel],
+            )
+        )
+    return out

@@ -18,6 +18,58 @@ from PIL import Image
 from multi_modal_regression_tpu.data.naming import PASCAL3D_CLASSES, make_name
 
 
+def generate_detection_set(
+    root: str | Path,
+    num_images: int = 6,
+    max_boxes: int = 3,
+    image_size: int = 64,
+    num_classes: int = 12,
+    seed: int = 0,
+) -> Path:
+    """Write a synthetic detector-crop set in the reference layout:
+    `dbinfo.mat` (image_names) + `all/<name>.mat` with xdata/bboxes/labels
+    (1-based), matching setupDataDetection_*.m output and DetImages'
+    expectations (evaluateModelDetectedBBoxes.py:43-64). Some images get
+    zero boxes (empty xdata) to exercise that path."""
+    import scipy.io as spio
+
+    root = Path(root)
+    (root / "all").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    names = [f"img{i:04d}" for i in range(num_images)]
+    for i, name in enumerate(names):
+        if i == 0:
+            n = max_boxes
+        elif i == 1:
+            n = 0  # always exercise the empty-image path
+        else:
+            n = int(rng.integers(0, max_boxes + 1))
+        if n == 0:
+            spio.savemat(
+                str(root / "all" / f"{name}.mat"),
+                {"xdata": np.zeros((0,)), "bboxes": np.zeros((0, 4)),
+                 "labels": np.zeros((0,), np.int64)},
+            )
+            continue
+        x1 = rng.uniform(0, 200, n)
+        y1 = rng.uniform(0, 200, n)
+        spio.savemat(
+            str(root / "all" / f"{name}.mat"),
+            {
+                "xdata": rng.integers(
+                    0, 256, (n, image_size, image_size, 3), np.uint8
+                ),
+                "bboxes": np.stack(
+                    [x1, y1, x1 + rng.uniform(20, 100, n),
+                     y1 + rng.uniform(20, 100, n)], axis=1
+                ),
+                "labels": rng.integers(1, num_classes + 1, n),  # 1-based
+            },
+        )
+    spio.savemat(str(root / "dbinfo.mat"), {"image_names": np.array(names)})
+    return root
+
+
 def generate_pose_dataset(
     root: str | Path,
     classes: Sequence[str] = PASCAL3D_CLASSES,

@@ -27,6 +27,10 @@ from multi_modal_regression_tpu.models import (
     JointCatPoseBDModel,
     JointCatPoseBDModel2,
     JointCatPoseRegModel,
+    LabelConcatBDModel,
+    LabelConcatClassificationModel,
+    LabelConcatDeltaPerBinModel,
+    LabelConcatRegressionModel,
     OneBinDeltaModel,
     OneDeltaPerBinModel,
     PerClassClassificationModel,
@@ -80,6 +84,7 @@ class ExperimentConfig:
     eval_every: int = 1000
     seed: int = 0
     compute_dtype: str = "float32"  # 'bfloat16' for the TPU fast path
+    tensorboard: bool = False  # also emit TB scalars (utils.metrics_writer)
     # snapshot-ensemble evaluation (helperFunctions.py:64,112-118)
     eval_alpha1: float = 1e-6
     eval_alpha2: float = 1e-8
@@ -90,8 +95,12 @@ class ExperimentConfig:
 
 
 def _model_takes_label(kind: str) -> bool:
-    return kind in ("one_bin_delta", "one_delta_per_bin", "probabilistic",
-                    "per_class_regression", "per_class_classification")
+    return kind in (
+        "one_bin_delta", "one_delta_per_bin", "probabilistic",
+        "per_class_regression", "per_class_classification",
+        "labelconcat_bd", "labelconcat_delta_per_bin",
+        "labelconcat_regression", "labelconcat_classification",
+    )
 
 
 def build_model(cfg: ExperimentConfig):
@@ -154,6 +163,22 @@ def build_model(cfg: ExperimentConfig):
         )
     if k == "categorization":
         return CategorizationModel(**common)
+    if k == "labelconcat_bd":
+        return LabelConcatBDModel(
+            **common, num_clusters=cfg.dict_size, ndim=cfg.ndim
+        )
+    if k == "labelconcat_delta_per_bin":
+        return LabelConcatDeltaPerBinModel(
+            **common, num_clusters=cfg.dict_size, N3=cfg.N3, ndim=cfg.ndim
+        )
+    if k == "labelconcat_regression":
+        return LabelConcatRegressionModel(
+            **common, ndim=cfg.ndim, nonlinearity=cfg.nonlinearity
+        )
+    if k == "labelconcat_classification":
+        return LabelConcatClassificationModel(
+            **common, num_clusters=cfg.dict_size
+        )
     raise ValueError(f"unknown model_kind {cfg.model_kind!r}")
 
 
@@ -340,6 +365,31 @@ PRESETS: dict[str, dict] = {
     "cat_given_pose3": dict(
         model_kind="joint_reg_v3", problem="category", self_balance=False,
         train_only=("fc",),
+    ),
+    # learnObjectnetModel.py — fixed analytic quaternion dictionary, 100
+    # classes, label-concat heads, single (real-only) train loader
+    "objectnet_quat": dict(
+        model_kind="labelconcat_bd", problem="objectnet_quat",
+        num_classes=100, dict_size=16, ndim=4, alpha=10.0,
+        self_balance=False,
+    ),
+    # learnObjectnetBDModel.py (axis-angle, learned kmeans dictionary)
+    "objectnet_bd": dict(
+        model_kind="labelconcat_bd", problem="geodesic",
+        num_classes=100, alpha=10.0, self_balance=False,
+    ),
+    "objectnet_bd_multires": dict(
+        model_kind="labelconcat_delta_per_bin", problem="geodesic",
+        num_classes=100, dict_size=16, alpha=10.0, self_balance=False,
+    ),
+    # learnObjectnetRegressionModel.py / learnObjectnetClassificationModel.py
+    "objectnet_regression": dict(
+        model_kind="labelconcat_regression", problem="regression",
+        num_classes=100, self_balance=False,
+    ),
+    "objectnet_classification": dict(
+        model_kind="labelconcat_classification", problem="classification",
+        num_classes=100, dict_size=16, self_balance=False,
     ),
 }
 

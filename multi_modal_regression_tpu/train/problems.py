@@ -91,6 +91,24 @@ def _decode_hard(scores, residual, centers):
     return centers[ind] + residual
 
 
+def objectnet_quaternion_dictionary() -> jax.Array:
+    """The fixed 16-atom quaternion dictionary of learnObjectnetModel.py:60-66:
+    the 4 unit quaternions e_i, then (e_i + e_j)/sqrt(2) for i<j, then
+    (e_i - e_j)/sqrt(2) for i<j (same row order as the reference listing)."""
+    atoms = list(np.eye(4))
+    s = 1.0 / np.sqrt(2.0)
+    pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    for i, j in pairs:
+        v = np.zeros(4)
+        v[i], v[j] = s, s
+        atoms.append(v)
+    for i, j in pairs:
+        v = np.zeros(4)
+        v[i], v[j] = s, -s
+        atoms.append(v)
+    return jnp.asarray(np.stack(atoms), jnp.float32)
+
+
 def make_problem(
     name: str,
     centers: np.ndarray | None = None,
@@ -305,6 +323,38 @@ def make_problem(
 
         return Problem(
             name, "axis_angle", targets, losses, losses, decode,
+            warmup_balance=None, main_balance=None,
+        )
+
+    if name == "objectnet_quat":
+        # fixed analytic 16-atom quaternion dictionary; bins by largest
+        # |<atom, q>| (double-cover aware), residual in R^4
+        # (learnObjectnetModel.py:60-66,108-112)
+        Cq = objectnet_quaternion_dictionary()
+
+        def targets(y):
+            dots = jnp.abs(y @ Cq.T)  # (B, 16)
+            bins = jnp.argmax(dots, axis=-1).astype(jnp.int32)
+            return {"y": y, "bins": bins, "res": y - Cq[bins]}
+
+        def warmup(out, tg):
+            scores, residual = out
+            return cross_entropy(scores, tg["bins"]), mse(residual, tg["res"])
+
+        def main(out, tg):
+            scores, residual = out
+            ypred = _decode_hard(scores, residual, Cq)
+            return cross_entropy(scores, tg["bins"]), geodesic_quat(ypred, tg["y"])
+
+        def decode(out):
+            q = _decode_hard(out[0], out[1], Cq)
+            # test predictions renormalized (learnObjectnetModel.py:213)
+            return q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-10
+            )
+
+        return Problem(
+            name, "quaternion", targets, warmup, main, decode,
             warmup_balance=None, main_balance=None,
         )
 

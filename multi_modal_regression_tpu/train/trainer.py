@@ -18,23 +18,15 @@ scripts (SURVEY.md §3.1, learnGeodesicBDModel.py:106-263) with one loop:
 
 from __future__ import annotations
 
-import itertools
-import json
 import time
 from pathlib import Path
-from typing import Iterable
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from multi_modal_regression_tpu.data.loader import BalancedLoader, TestLoader
 from multi_modal_regression_tpu.metrics.pose_error import mean_class_median_error
-from multi_modal_regression_tpu.parallel.mesh import (
-    batch_sharding,
-    make_mesh,
-    replicated_sharding,
-)
+from multi_modal_regression_tpu.parallel.mesh import make_mesh, replicated_sharding
 from multi_modal_regression_tpu.train.presets import (
     ExperimentConfig,
     build_model,
@@ -50,7 +42,15 @@ def _interleave(real_loader, render_loader):
     """Yield concatenated (real, render) batches; stop at the shorter
     (zip semantics of the reference, learnGeodesicBDModel.py:160). Adds an
     'is_real' row mask — joint objectives compute the category CE on real
-    rows only (learnJointCatPoseModel_top1.py:176)."""
+    rows only (learnJointCatPoseModel_top1.py:176). With render_loader=None
+    (the ObjectNet single-loader protocol, learnObjectnetBDModel.py:74-75)
+    the real batches pass through unchanged."""
+    if render_loader is None:
+        for a in real_loader:
+            out = dict(a)
+            out["is_real"] = np.ones(len(a["label"]), bool)
+            yield out
+        return
     for a, b in zip(real_loader, render_loader):
         out = {k: np.concatenate([a[k], b[k]]) for k in a}
         out["is_real"] = np.concatenate(
@@ -89,8 +89,12 @@ class Trainer:
             for phase in ("warmup", "main")
         }
         self._eval_step = jax.jit(make_eval_step(self.apply_fn, self.problem))
-        self._metrics_file = (
-            open(self.workdir / "metrics.jsonl", "a") if self.workdir else None
+        from multi_modal_regression_tpu.utils.metrics_writer import MetricsWriter
+
+        self._writer = (
+            MetricsWriter(self.workdir, tensorboard=config.tensorboard)
+            if self.workdir
+            else None
         )
 
     # -- state ------------------------------------------------------------
@@ -139,9 +143,11 @@ class Trainer:
     # -- logging ----------------------------------------------------------
 
     def _log(self, record: dict) -> None:
-        if self._metrics_file:
-            self._metrics_file.write(json.dumps(record) + "\n")
-            self._metrics_file.flush()
+        if self._writer:
+            record = dict(record)
+            step = record.pop("step", 0)
+            record.pop("phase", None)
+            self._writer.write(step, record)
 
     # -- training ---------------------------------------------------------
 
@@ -170,6 +176,9 @@ class Trainer:
                 dt = time.time() - t0
                 rec = {
                     "step": step, "phase": phase, **m,
+                    # reference scalar names (learnGeodesicBDModel.py:187-189)
+                    "train_loss": m["loss"],
+                    "alpha": float(np.exp(-m["s"])),
                     "images_per_sec": images_done / max(dt, 1e-9),
                 }
                 print(
@@ -186,7 +195,7 @@ class Trainer:
             ):
                 med = self.evaluate(state, test_loader)
                 print(f"[{phase}] step {step} MedErr {med:.3f} deg", flush=True)
-                self._log({"step": step, "med_err": med})
+                self._log({"step": step, "med_err": med, "val_loss": med})
             if cfg.max_iterations and n_steps >= cfg.max_iterations:
                 break
         return state
@@ -218,7 +227,9 @@ class Trainer:
                     f"MedErr {med:.3f} deg",
                     flush=True,
                 )
-                self._log({"epoch": epoch, "med_err": med})
+                self._log(
+                    {"step": int(state.step), "epoch": epoch, "med_err": med}
+                )
         return state
 
     # -- evaluation -------------------------------------------------------

@@ -1,0 +1,111 @@
+"""Detected-bbox inference pipeline + AVP/ARP metric glue."""
+
+import numpy as np
+import pytest
+
+from multi_modal_regression_tpu.detection import (
+    DetectionSetIndex,
+    detections_per_class,
+    run_detection_inference,
+    save_results_mat,
+)
+from multi_modal_regression_tpu.dictionary.kmeans import KMeansDictionary
+from multi_modal_regression_tpu.metrics.detection import (
+    ImageGroundTruth,
+    compute_detection_metrics,
+)
+from multi_modal_regression_tpu.tools.synthetic import generate_detection_set
+from multi_modal_regression_tpu.train import Trainer, get_config
+
+TINY = dict(
+    feature_network="resnet18", feature_layer="layer4",
+    num_classes=12, N0=512, N1=32, N2=16, dict_size=5, image_size=64,
+)
+
+
+@pytest.fixture(scope="module")
+def det_root(tmp_path_factory):
+    return generate_detection_set(
+        tmp_path_factory.mktemp("dets") / "vk_dets",
+        num_images=5, max_boxes=3, image_size=64, seed=7,
+    )
+
+
+def test_detection_index(det_root):
+    idx = DetectionSetIndex(str(det_root))
+    assert len(idx) == 5
+    first = idx.load_image(0)
+    assert first is not None
+    assert first["xdata"].shape[1:] == (64, 64, 3)
+    assert first["labels"].min() >= 0  # converted to 0-based
+    # at least one empty image exists
+    empties = [idx.load_image(i) is None for i in range(len(idx))]
+    assert any(empties)
+
+
+def test_run_detection_inference_and_save(det_root, tmp_path):
+    rng = np.random.default_rng(0)
+    centers = (0.7 * rng.standard_normal((5, 3))).astype(np.float32)
+    cfg = get_config("geodesic_bd", **TINY)
+    trainer = Trainer(cfg, dictionary=KMeansDictionary(cluster_centers=centers))
+    state = trainer.init_state()
+    idx = DetectionSetIndex(str(det_root))
+    bboxes, ypred, labels = run_detection_inference(
+        trainer.apply_fn, trainer.problem, state, idx, batch_size=4
+    )
+    assert len(bboxes) == len(ypred) == len(labels) == len(idx)
+    for i in range(len(idx)):
+        sample = idx.load_image(i)
+        if sample is None:
+            assert len(ypred[i]) == 0
+        else:
+            assert ypred[i].shape == (len(sample["labels"]), 3)
+            np.testing.assert_array_equal(labels[i], sample["labels"])
+
+    out = tmp_path / "results.mat"
+    save_results_mat(out, bboxes, ypred, labels)
+    import scipy.io as spio
+
+    loaded = spio.loadmat(str(out), squeeze_me=True)
+    assert "ypred" in loaded and "bbox" in loaded and "labels" in loaded
+
+
+def test_detections_per_class_and_metrics(det_root):
+    """Perfect predictions on GT boxes give AP = AVP = 1 for a class."""
+    idx = DetectionSetIndex(str(det_root))
+    rng = np.random.default_rng(3)
+    # build fake results where predictions == GT poses
+    bboxes, ypred, labels, gts = [], [], [], []
+    target_cls = None
+    for i in range(len(idx)):
+        s = idx.load_image(i)
+        if s is None:
+            bboxes.append(np.array([]))
+            ypred.append(np.array([]))
+            labels.append(np.array([]))
+            gts.append(None)
+            continue
+        poses = 0.5 * rng.standard_normal((len(s["labels"]), 3))
+        bboxes.append(s["bboxes"])
+        ypred.append(poses)
+        labels.append(s["labels"])
+        if target_cls is None and len(s["labels"]):
+            target_cls = int(s["labels"][0])
+        gts.append((s["bboxes"], poses, s["labels"]))
+
+    dets = detections_per_class(bboxes, ypred, labels, None, target_cls)
+    gt_objs = []
+    for g in gts:
+        if g is None:
+            gt_objs.append(None)
+            continue
+        bb, poses, ll = g
+        sel = ll == target_cls
+        gt_objs.append(
+            ImageGroundTruth(boxes=bb[sel], poses=poses[sel]) if sel.any() else None
+        )
+    m = compute_detection_metrics(gt_objs, dets, mode="arp")
+    assert m.num_gt > 0
+    assert m.ap == pytest.approx(1.0)
+    assert m.avp == pytest.approx(1.0)
+    assert m.med_err < 1e-3
