@@ -74,12 +74,15 @@ def main() -> None:
     step_fn = trainer._train_steps["main"]
     for _ in range(WARMUP_STEPS):
         state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])  # host fetch: block_until_ready does not
+    # synchronize through the TPU tunnel; a D2H copy does
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics)
+    # the state is donated and chained, so fetching the last step's loss
+    # waits for the whole sequence
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     images_per_sec = MEASURE_STEPS * BATCH / dt

@@ -95,18 +95,29 @@ def _make_loaders(args, cfg):
     )
 
     root = Path(args.data_root)
-    real = ClassBalancedIndex(str(root / args.real_subdir), "real")
-    render = ClassBalancedIndex(str(root / args.render_subdir), "render")
-    test = FlatTestIndex(str(root / args.test_subdir))
-    mk = lambda idx: BalancedLoader(
-        idx, cfg.items_per_batch, cfg.image_size,
-        num_workers=args.num_workers, seed=cfg.seed,
+    # --train-data selects real/render/both (the ablationGBDAugmentation.py
+    # --type protocol; 'both' is the standard two-loader training)
+    which = getattr(args, "train_data", "both")
+    real = render = None
+    if which in ("both", "real"):
+        real = BalancedLoader(
+            ClassBalancedIndex(str(root / args.real_subdir), "real"),
+            cfg.items_per_batch, cfg.image_size,
+            num_workers=args.num_workers, seed=cfg.seed,
+        )
+    if which in ("both", "render"):
+        render = BalancedLoader(
+            ClassBalancedIndex(str(root / args.render_subdir), "render"),
+            cfg.items_per_batch, cfg.image_size,
+            num_workers=args.num_workers, seed=cfg.seed,
+        )
+    if real is None:  # render-only: it drives the loop
+        real, render = render, None
+    test = TestLoader(
+        FlatTestIndex(str(root / args.test_subdir)),
+        cfg.eval_batch, cfg.image_size, num_workers=args.num_workers,
     )
-    return (
-        mk(real), mk(render),
-        TestLoader(test, cfg.eval_batch, cfg.image_size,
-                   num_workers=args.num_workers),
-    )
+    return real, render, test
 
 
 def cmd_train(args) -> int:
@@ -125,6 +136,8 @@ def cmd_train(args) -> int:
         state = trainer.init_state()
         if args.pretrained_backbone:
             state = _load_pretrained(trainer, state, args.pretrained_backbone)
+        if args.warm_start_workdir:
+            state = _warm_start(trainer, state, args)
     state = trainer.fit(state, real, render, test_loader=test)
     trainer.save_checkpoint(state, "final")
     med = trainer.evaluate(state, test)
@@ -148,6 +161,47 @@ def _load_pretrained(trainer, state, path: str):
     return state.replace(params=new_params, batch_stats=new_stats)
 
 
+def _warm_start(trainer, state, args):
+    """Two-stage chaining: graft a source run's checkpoint into this model.
+
+    --warm-start-kind:
+      classifier  classification model -> BD bin branch
+                  (learnSimpleBDModel_rene.py:89-130)
+      oracle      BD/regression oracle -> joint cat+pose model
+                  (learnJointCatPoseModel_*.py two-stage pipelines)
+    """
+    from multi_modal_regression_tpu.models.surgery import (
+        graft_classifier_into_bd,
+        graft_oracle_into_joint,
+    )
+    from multi_modal_regression_tpu.train import Trainer, get_config
+
+    src_cfg = get_config(
+        args.warm_start_preset,
+        **{
+            k: getattr(trainer.config, k)
+            for k in ("feature_network", "feature_layer", "num_classes",
+                      "N0", "N1", "N2", "image_size")
+        },
+        dict_size=trainer.config.dict_size,
+    )
+    src_trainer = Trainer(src_cfg, workdir=args.warm_start_workdir)
+    src_state = src_trainer.restore_checkpoint(args.warm_start_checkpoint)
+    dst = {"params": state.params, "batch_stats": state.batch_stats}
+    src = {"params": src_state.params, "batch_stats": src_state.batch_stats}
+    if args.warm_start_kind == "classifier":
+        grafted = graft_classifier_into_bd(dst, src)
+    else:
+        grafted = graft_oracle_into_joint(dst, src, trainer.config.model_kind)
+    print(
+        f"warm-started ({args.warm_start_kind}) from "
+        f"{args.warm_start_workdir}", flush=True,
+    )
+    return state.replace(
+        params=grafted["params"], batch_stats=grafted["batch_stats"]
+    )
+
+
 def cmd_evaluate(args) -> int:
     from multi_modal_regression_tpu.train import SnapshotEnsembleEvaluator, Trainer
 
@@ -166,6 +220,54 @@ def cmd_evaluate(args) -> int:
     per_snap = [round(s.med_err, 4) for s in ev.snapshots]
     print(f"snapshot MedErrs: {per_snap}", flush=True)
     print(f"ensembled MedErr: {med:.4f} deg", flush=True)
+    return 0
+
+
+def cmd_predict(args) -> int:
+    """Pure inference from a checkpoint: GT test crops (the
+    evaluateJointModel.py protocol) or detector crops
+    (evaluateModelDetectedBBoxes.py) when --det-path is given."""
+    import numpy as np
+
+    from multi_modal_regression_tpu.train import Trainer
+
+    cfg = _config_from_args(args)
+    workdir = args.workdir or f"runs/{args.save_str}"
+    trainer = Trainer(
+        cfg, dictionary=_load_dictionary(args.dictionary), workdir=workdir
+    )
+    state = trainer.restore_checkpoint(args.checkpoint)
+
+    if args.det_path:
+        from multi_modal_regression_tpu.detection import (
+            DetectionSetIndex,
+            run_detection_inference,
+            save_results_mat,
+        )
+
+        index = DetectionSetIndex(args.det_path)
+        bboxes, ypred, labels = run_detection_inference(
+            trainer.apply_fn, trainer.problem, state, index,
+            batch_size=cfg.eval_batch,
+        )
+        det_name = Path(args.det_path).name
+        out = Path(workdir) / f"results_{args.save_str}_{det_name}.mat"
+        save_results_mat(out, bboxes, ypred, labels)
+        n = sum(len(b) for b in labels)
+        print(f"wrote {out} ({n} detections over {len(index)} images)", flush=True)
+        return 0
+
+    from multi_modal_regression_tpu.data import FlatTestIndex, TestLoader
+
+    test = TestLoader(
+        FlatTestIndex(str(Path(args.data_root) / args.test_subdir)),
+        cfg.eval_batch, cfg.image_size, num_workers=args.num_workers,
+    )
+    ytrue, ypred, labels = trainer.predict(state, test)
+    out = Path(workdir) / f"results_{args.save_str}.npz"
+    np.savez(out, ytest=ytrue, yhat_test=ypred, test_labels=labels)
+    med = trainer.evaluate(state, test)
+    print(f"wrote {out}; MedErr {med:.4f}", flush=True)
     return 0
 
 
@@ -232,6 +334,16 @@ def main(argv=None) -> int:
                          help="pose dictionary .npz (kmeans or gmm)")
     p_train.add_argument("--pretrained-backbone", type=str, default=None,
                          help="torchvision state_dict .pth for the backbone")
+    p_train.add_argument("--train-data", choices=("both", "real", "render"),
+                         default="both",
+                         help="training data selection (augmentation ablation)")
+    p_train.add_argument("--warm-start-workdir", type=str, default=None,
+                         help="source run workdir for two-stage chaining")
+    p_train.add_argument("--warm-start-preset", type=str, default=None,
+                         help="preset of the source run")
+    p_train.add_argument("--warm-start-checkpoint", type=str, default="final")
+    p_train.add_argument("--warm-start-kind",
+                         choices=("classifier", "oracle"), default="oracle")
     _add_common_data_args(p_train)
     _add_config_overrides(p_train)
     p_train.set_defaults(fn=cmd_train)
@@ -244,6 +356,18 @@ def main(argv=None) -> int:
     _add_common_data_args(p_eval)
     _add_config_overrides(p_eval)
     p_eval.set_defaults(fn=cmd_evaluate)
+
+    p_pred = sub.add_parser("predict", help="pure inference from a checkpoint")
+    p_pred.add_argument("--preset", choices=sorted(PRESETS), required=True)
+    p_pred.add_argument("--dictionary", type=str, default=None)
+    p_pred.add_argument("--checkpoint", type=str, default="final")
+    p_pred.add_argument("--det-path", type=str, default=None,
+                        help="detector crop set (dbinfo.mat + all/*.mat)")
+    p_pred.add_argument("--data-root", type=str, default=".")
+    p_pred.add_argument("--test-subdir", type=str, default="test")
+    p_pred.add_argument("--num-workers", type=int, default=8)
+    _add_config_overrides(p_pred)
+    p_pred.set_defaults(fn=cmd_predict)
 
     p_dict = sub.add_parser("dictionary", help="learn a pose dictionary")
     p_dict.add_argument("--type", choices=("kmeans", "gmm"), default="kmeans")

@@ -16,6 +16,7 @@ from multi_modal_regression_tpu.data.loader import (
     IMAGENET_STD,
     BalancedLoader,
     FlatLoader,
+    MatCropLoader,
     TestLoader,
     decode_image,
     normalize_images,
@@ -43,6 +44,7 @@ __all__ = [
     "IMAGENET_STD",
     "BalancedLoader",
     "FlatLoader",
+    "MatCropLoader",
     "TestLoader",
     "decode_image",
     "normalize_images",

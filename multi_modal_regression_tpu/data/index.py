@@ -30,11 +30,16 @@ from multi_modal_regression_tpu.data.naming import PASCAL3D_CLASSES, parse_name
 
 
 def _class_image_names(
-    db_path: str | Path, cls: str, info_key: str = "image_names"
+    db_path: str | Path,
+    cls: str,
+    info_key: str = "image_names",
+    info_suffix: str = "_info",
 ) -> np.ndarray:
-    """Image names for one class: from `<cls>_info.mat` if present, else by
-    scanning `<db_path>/<cls>/*.png`."""
-    info_file = Path(db_path) / f"{cls}_info.mat"
+    """Image names for one class: from `<cls><info_suffix>.mat` if present,
+    else by scanning `<db_path>/<cls>/*.png`. The ablation protocol reads
+    `<cls>_train_info` files for its real-data train/val split
+    (ablationFunctions.py:27-28)."""
+    info_file = Path(db_path) / f"{cls}{info_suffix}.mat"
     if info_file.exists():
         import scipy.io as spio
 
@@ -63,13 +68,15 @@ class ClassBalancedIndex:
     db_type: str  # 'real' | 'render'
     classes: Sequence[str] = PASCAL3D_CLASSES
     info_key: str = "image_names"
+    info_suffix: str = "_info"  # ablation real split uses "_train_info"
 
     def __post_init__(self):
         if self.db_type not in ("real", "render"):
             raise ValueError(f"db_type must be real|render, got {self.db_type!r}")
         self.num_classes = len(self.classes)
         self.list_image_names = [
-            _class_image_names(self.db_path, c, self.info_key) for c in self.classes
+            _class_image_names(self.db_path, c, self.info_key, self.info_suffix)
+            for c in self.classes
         ]
         self.num_images = np.array([len(n) for n in self.list_image_names])
         # current (possibly shuffled) per-class orders

@@ -217,6 +217,80 @@ class FlatLoader:
         yield from _prefetched(self._gen, self.num_workers, self.prefetch_depth)
 
 
+class MatCropLoader:
+    """Fixed-size eval batches over precomputed .mat crops (Pascal3dAll).
+
+    The reference's Pascal3dAll dataset reads per-image .mat files holding
+    n crops each (xdata (n,224,224,3), ydata (n,3) axis-angle) and batches
+    them via my_collate (dataGenerators.py:80-124). Here all crops are
+    flattened into one padded static-shape stream (valid mask marks the
+    padding), with the axis-angle 'ydata' passed through — quaternion
+    conversion happens on device in the eval step.
+    """
+
+    def __init__(
+        self,
+        index,  # MatCropIndex
+        batch_size: int = 96,
+        num_workers: int = 8,
+        prefetch_depth: int = 2,
+    ):
+        self.index = index
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.prefetch_depth = prefetch_depth
+
+    def _load(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        import scipy.io as spio
+
+        tmp = spio.loadmat(
+            self.index.path(i), verify_compressed_data_integrity=False
+        )
+        x = np.asarray(tmp["xdata"], np.uint8)
+        y = np.asarray(tmp["ydata"], np.float32).reshape(len(x), -1)
+        lab = np.full(len(x), self.index.labels[i], np.int32)
+        return x, y, lab
+
+    def _gen(self, pool: cf.Executor) -> Iterator[dict]:
+        buf_x, buf_y, buf_l = [], [], []
+        count = 0
+        for x, y, lab in pool.map(self._load, range(len(self.index))):
+            buf_x.append(x)
+            buf_y.append(y)
+            buf_l.append(lab)
+            count += len(x)
+            while count >= self.batch_size:
+                X = np.concatenate(buf_x)
+                Y = np.concatenate(buf_y)
+                L = np.concatenate(buf_l)
+                yield {
+                    "xdata": X[: self.batch_size],
+                    "ydata": Y[: self.batch_size],
+                    "label": L[: self.batch_size],
+                    "valid": np.ones(self.batch_size, bool),
+                }
+                buf_x = [X[self.batch_size :]]
+                buf_y = [Y[self.batch_size :]]
+                buf_l = [L[self.batch_size :]]
+                count -= self.batch_size
+        if count:
+            X = np.concatenate(buf_x)
+            Y = np.concatenate(buf_y)
+            L = np.concatenate(buf_l)
+            pad = self.batch_size - count
+            yield {
+                "xdata": np.concatenate(
+                    [X, np.zeros((pad, *X.shape[1:]), X.dtype)]
+                ),
+                "ydata": np.concatenate([Y, np.zeros((pad, Y.shape[1]), Y.dtype)]),
+                "label": np.concatenate([L, np.zeros(pad, np.int32)]),
+                "valid": np.concatenate([np.ones(count, bool), np.zeros(pad, bool)]),
+            }
+
+    def __iter__(self) -> Iterator[dict]:
+        yield from _prefetched(self._gen, self.num_workers, self.prefetch_depth)
+
+
 class TestLoader:
     """Fixed-size batches over a FlatTestIndex, padded for static shapes.
 

@@ -27,7 +27,10 @@ from multi_modal_regression_tpu.models.joint import (
     class_weights,
     mix_heads,
 )
-from multi_modal_regression_tpu.models.surgery import graft_oracle_into_joint
+from multi_modal_regression_tpu.models.surgery import (
+    graft_classifier_into_bd,
+    graft_oracle_into_joint,
+)
 from multi_modal_regression_tpu.models.pose import (
     PerClassRegressionModel,
     PerClassClassificationModel,
@@ -57,6 +60,7 @@ __all__ = [
     "ElhoseinyRegressionModel",
     "class_weights",
     "mix_heads",
+    "graft_classifier_into_bd",
     "graft_oracle_into_joint",
     "OneBinDeltaModel",
     "OneDeltaPerBinModel",

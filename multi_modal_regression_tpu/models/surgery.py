@@ -33,6 +33,25 @@ def _split_backbone(tree: Mapping, stage: int = 4) -> tuple[dict, dict]:
     return trunk, last
 
 
+def graft_classifier_into_bd(
+    bd_variables: Mapping[str, Any],
+    classifier_variables: Mapping[str, Any],
+) -> dict:
+    """Warm-start a OneBinDeltaModel from a trained pose-classification
+    model: copy its backbone and its per-class bin heads (the classifier's
+    `pose_models` bank IS a bin_3layer bank) into `feature_model` /
+    `bin_models`, leaving the fresh delta heads untouched — the
+    learnSimpleBDModel_rene.py:89-130 protocol."""
+    out = {}
+    for coll in bd_variables:
+        src = classifier_variables.get(coll, {})
+        out[coll] = _merged(
+            bd_variables[coll], src,
+            {"feature_model": "feature_model", "bin_models": "pose_models"},
+        )
+    return out
+
+
 def graft_oracle_into_joint(
     joint_variables: Mapping[str, Any],
     oracle_variables: Mapping[str, Any],

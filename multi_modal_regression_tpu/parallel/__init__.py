@@ -1,5 +1,11 @@
 """Device-mesh / sharding helpers (SPMD via jit over a Mesh)."""
 
+from multi_modal_regression_tpu.parallel.tp import (
+    make_2d_mesh,
+    shard_batch_2d,
+    shard_state,
+    state_shardings,
+)
 from multi_modal_regression_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
@@ -8,6 +14,10 @@ from multi_modal_regression_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "make_2d_mesh",
+    "shard_batch_2d",
+    "shard_state",
+    "state_shardings",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",

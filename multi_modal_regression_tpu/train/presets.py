@@ -68,7 +68,9 @@ class ExperimentConfig:
     self_balance: bool = True  # False -> fixed loss Lc + alpha * Lr
     alpha: float = 1.0  # fixed main-phase Lr weight when self-balance is off
     warmup_alpha: float = 1.0  # fixed warmup-phase Lr weight
-    gamma: float = 10.0  # RBF soft-bin width
+    # RBF soft-bin width; None -> derived from the dictionary geometry via
+    # get_gamma (the ablationXBDModel.py:61-62 protocol)
+    gamma: float | None = 10.0
     mixing: str = "top1"  # joint models: 'top1' | 'top1_st' | 'weighted'
     # restrict training to these top-level param collections (None = all),
     # e.g. ("fc",) for learnCatGivenPoseModel.py:108-126's frozen oracle
@@ -221,9 +223,15 @@ def build_problem(cfg: ExperimentConfig, dictionary: Any = None) -> Problem:
             cat_on_real_only=cfg.model_kind != "joint_bd_v2",
         )
     else:
+        gamma = cfg.gamma
+        if gamma is None and centers is not None:
+            from multi_modal_regression_tpu.dictionary import get_gamma
+
+            gamma = get_gamma(centers)
         problem = make_problem(
             cfg.problem, centers,
-            gamma=cfg.gamma, multires=cfg.multires, **gmm_kw,
+            gamma=gamma if gamma is not None else 10.0,
+            multires=cfg.multires, **gmm_kw,
         )
     if not cfg.self_balance:
         problem = dataclasses.replace(
@@ -390,6 +398,23 @@ PRESETS: dict[str, dict] = {
     "objectnet_classification": dict(
         model_kind="labelconcat_classification", problem="classification",
         num_classes=100, dict_size=16, self_balance=False,
+    ),
+    # ablationGeodesicBDModel.py — geodesic BD evaluated on the val split
+    # (model selection); identical objective, ablation data split
+    "ablation_geodesic_bd": dict(model_kind="one_bin_delta", problem="geodesic"),
+    # ablationXBDModel.py — relaxed soft bins with data-driven gamma
+    # (get_gamma over the dictionary, ablationXBDModel.py:61-62)
+    "ablation_xbd": dict(
+        model_kind="one_bin_delta", problem="relaxed_kmeans", gamma=None
+    ),
+    # ablationGBDAugmentation.py — same objective; the augmented-vs-render
+    # data selection is the loader choice (--type real/render/both)
+    "ablation_gbd_augmentation": dict(
+        model_kind="one_bin_delta", problem="geodesic"
+    ),
+    # ablationDictionarySizeC0.py — classification-only dict-size sweep
+    "ablation_c0": dict(
+        model_kind="per_class_classification", problem="classification"
     ),
 }
 

@@ -105,7 +105,19 @@ def make_eval_step(apply_fn: ApplyFn, problem: Problem):
 
     def eval_step(state: TrainState, batch: dict):
         images = normalize_images(batch["xdata"])
-        y = euler_to_pose(batch["euler"], problem.ydata_type)
+        if "euler" in batch:
+            y = euler_to_pose(batch["euler"], problem.ydata_type)
+        else:
+            # precomputed .mat crops ship axis-angle 'ydata' directly; the
+            # quaternion conversion happens here on device (the reference
+            # converts on host per batch, dataGenerators.py:110-115)
+            y = batch["ydata"]
+            if problem.ydata_type == "quaternion":
+                from multi_modal_regression_tpu.geometry.quaternion import (
+                    quat_from_axis_angle,
+                )
+
+                y = quat_from_axis_angle(y)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         outputs = apply_fn(variables, images, batch["label"], False)
         return problem.decode(outputs), y

@@ -110,9 +110,17 @@ class Trainer:
         args = (x, label) if _model_takes_label(cfg.model_kind) else (x,)
         variables = self.model.init(jax.random.PRNGKey(seed), *args, train=False)
         state = create_train_state(variables, self.tx)
+        if "model" in self.mesh.axis_names:
+            from multi_modal_regression_tpu.parallel.tp import shard_state
+
+            return shard_state(state, self.mesh)
         return jax.device_put(state, replicated_sharding(self.mesh))
 
     def shard_batch(self, batch: dict) -> dict:
+        if "model" in self.mesh.axis_names:
+            from multi_modal_regression_tpu.parallel.tp import shard_batch_2d
+
+            return shard_batch_2d(batch, self.mesh)
         from multi_modal_regression_tpu.parallel.mesh import shard_batch
 
         return shard_batch(batch, self.mesh)
