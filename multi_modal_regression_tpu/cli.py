@@ -185,7 +185,11 @@ def _warm_start(trainer, state, args):
         },
         dict_size=trainer.config.dict_size,
     )
-    src_trainer = Trainer(src_cfg, workdir=args.warm_start_workdir)
+    src_trainer = Trainer(
+        src_cfg,
+        dictionary=_load_dictionary(args.dictionary),
+        workdir=args.warm_start_workdir,
+    )
     src_state = src_trainer.restore_checkpoint(args.warm_start_checkpoint)
     dst = {"params": state.params, "batch_stats": state.batch_stats}
     src = {"params": src_state.params, "batch_stats": src_state.batch_stats}
