@@ -32,9 +32,14 @@ class KMeansDictionary:
         return int(self.cluster_centers.shape[0])
 
     def predict(self, y: np.ndarray) -> np.ndarray:
-        """Hard bin assignment: argmin distance to centers."""
+        """Hard bin assignment: argmin distance to centers (streams through
+        the tiled Pallas kernel on TPU — no (N, K) matrix in HBM)."""
+        from multi_modal_regression_tpu.ops.assign import assign_bins_pallas
+
         return np.asarray(
-            kmeans_assign(jnp.asarray(y), jnp.asarray(self.cluster_centers))
+            assign_bins_pallas(
+                jnp.asarray(y, jnp.float32), jnp.asarray(self.cluster_centers)
+            )
         )
 
     def residuals(self, y: np.ndarray, bins: np.ndarray | None = None) -> np.ndarray:

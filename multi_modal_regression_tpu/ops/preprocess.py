@@ -1,0 +1,90 @@
+"""Fused image preprocessing kernel: uint8 HWC -> normalized float.
+
+Computes (x / 255 - mean) / std per channel (the torchvision ToTensor +
+Normalize chain the reference applies per image on host DataLoader workers,
+dataGenerators.py:21-23) as ONE Pallas kernel over the uint8 batch on
+device: a single HBM read of the raw bytes and a single write of the
+normalized activations.
+
+Layout: the (B, H, W, 3) image is viewed as (B*H, W*3) rows — the channel
+pattern repeats every 3 lanes, so per-channel normalization becomes an
+elementwise multiply-add against precomputed periodic (W*3,) scale/offset
+vectors. This keeps the last dimension wide (W*3 = 672 for 224-px images)
+instead of vectorizing over a 3-wide channel axis.
+
+out = x * scale + offset, with scale[c] = 1/(255*std[c]),
+offset[c] = -mean[c]/std[c].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_modal_regression_tpu.data.loader import IMAGENET_MEAN, IMAGENET_STD
+
+
+def _periodic_scale_offset(width: int, dtype) -> tuple[np.ndarray, np.ndarray]:
+    scale_c = (1.0 / (255.0 * IMAGENET_STD)).astype(np.float32)
+    offset_c = (-IMAGENET_MEAN / IMAGENET_STD).astype(np.float32)
+    reps = width  # channel pattern repeated across the row
+    return (
+        np.tile(scale_c, reps).astype(dtype),
+        np.tile(offset_c, reps).astype(dtype),
+    )
+
+
+def _kernel(x_ref, scale_ref, offset_ref, out_ref):
+    # Mosaic has no direct uint8 -> bf16 cast; widen via int32/f32 first
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
+    out_ref[:] = (x * scale_ref[:] + offset_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "row_tile"))
+def _pallas_normalize(x_u8: jax.Array, dtype=jnp.float32, row_tile: int = 256):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x_u8.shape
+    rows, cols = b * h, w * c
+    x2 = x_u8.reshape(rows, cols)
+    # scale/offset stay f32; the kernel casts only the final result
+    scale, offset = _periodic_scale_offset(w, np.float32)
+    scale = jnp.asarray(scale)[None, :]  # (1, cols): TPU wants >= 2-D blocks
+    offset = jnp.asarray(offset)[None, :]
+    tile = min(row_tile, rows)
+    grid = (pl.cdiv(rows, tile),)
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cols), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cols), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, cols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(x2, scale, offset)
+    return out.reshape(b, h, w, c)
+
+
+def normalize_images_pallas(
+    x_u8: jax.Array, dtype=jnp.float32, use_pallas: bool | None = None
+) -> jax.Array:
+    """(B, H, W, 3) uint8 -> normalized (B, H, W, 3) in `dtype`.
+
+    use_pallas=None auto-selects: the kernel on TPU backends, the XLA
+    elementwise fallback elsewhere (also the numerical reference).
+    """
+    if use_pallas is None:
+        use_pallas = x_u8.ndim == 4 and jax.default_backend() == "tpu"
+    if not use_pallas:
+        from multi_modal_regression_tpu.data.loader import normalize_images
+
+        return normalize_images(x_u8, dtype=dtype)
+    return _pallas_normalize(x_u8, dtype=dtype)

@@ -21,8 +21,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from multi_modal_regression_tpu.data.loader import normalize_images
 from multi_modal_regression_tpu.data.targets import euler_to_pose
+from multi_modal_regression_tpu.ops.preprocess import (
+    normalize_images_pallas as normalize_images,
+)
 from multi_modal_regression_tpu.losses.self_balance import self_balanced
 from multi_modal_regression_tpu.train.problems import Problem
 from multi_modal_regression_tpu.train.state import TrainState
