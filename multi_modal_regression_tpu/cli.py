@@ -30,11 +30,21 @@ def _add_common_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--render-subdir", type=str, default="renderforcnn")
     p.add_argument("--test-subdir", type=str, default="test")
     p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--dbinfo", type=str, default=None,
+                   help="dbinfo.mat with a 'classes' list (ObjectNet3D, "
+                        "learnObjectnetBDModel.py:54-56); default: the 12 "
+                        "PASCAL3D+ classes")
+    p.add_argument("--protocol", choices=("balanced", "flat"), default=None,
+                   help="'balanced' = class-balanced real+render loaders; "
+                        "'flat' = single shuffled flat train loader "
+                        "(ObjectNet protocol). Default: flat for "
+                        "objectnet_* presets, balanced otherwise")
 
 
 def _add_config_overrides(p: argparse.ArgumentParser) -> None:
     # reference flag spellings kept where they exist
     p.add_argument("--save-str", type=str, default="run")
+    p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--dict-size", type=int, default=None)
     p.add_argument("--N0", type=int, default=None)
     p.add_argument("--N1", type=int, default=None)
@@ -60,14 +70,19 @@ def _config_from_args(args) -> "object":
 
     overrides = {}
     for field in (
-        "dict_size", "N0", "N1", "N2", "N3", "init_lr", "num_epochs",
-        "num_warmup_epochs", "max_iterations", "items_per_batch",
-        "image_size", "feature_network", "feature_layer", "multires",
-        "compute_dtype",
+        "num_classes", "dict_size", "N0", "N1", "N2", "N3", "init_lr",
+        "num_epochs", "num_warmup_epochs", "max_iterations",
+        "items_per_batch", "image_size", "feature_network", "feature_layer",
+        "multires", "compute_dtype",
     ):
-        v = getattr(args, field)
+        v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
+    if (
+        "num_classes" not in overrides
+        and getattr(args, "dbinfo", None)
+    ):
+        overrides["num_classes"] = len(_classes_from_args(args))
     return get_config(args.preset, **overrides)
 
 
@@ -86,35 +101,69 @@ def _load_dictionary(path: str | None):
     return KMeansDictionary.load(path)
 
 
+def _classes_from_args(args):
+    if getattr(args, "dbinfo", None):
+        import numpy as np
+        import scipy.io as spio
+
+        tmp = spio.loadmat(args.dbinfo, squeeze_me=True)
+        return tuple(str(c).strip() for c in np.atleast_1d(tmp["classes"]))
+    from multi_modal_regression_tpu.data import PASCAL3D_CLASSES
+
+    return PASCAL3D_CLASSES
+
+
 def _make_loaders(args, cfg):
     from multi_modal_regression_tpu.data import (
         BalancedLoader,
         ClassBalancedIndex,
+        FlatLoader,
         FlatTestIndex,
         TestLoader,
     )
 
+    classes = _classes_from_args(args)
+    protocol = args.protocol or (
+        "flat" if cfg.preset.startswith("objectnet") else "balanced"
+    )
     root = Path(args.data_root)
+    if protocol == "flat":
+        # single shuffled flat train loader over <root>/train, test over
+        # <root>/test (learnObjectnetBDModel.py:50-51,74-75)
+        train = FlatLoader(
+            FlatTestIndex(str(root / "train"), classes=classes),
+            batch_size=cfg.items_per_batch * 12, image_size=cfg.image_size,
+            num_workers=args.num_workers, seed=cfg.seed,
+        )
+        test = TestLoader(
+            FlatTestIndex(str(root / args.test_subdir), classes=classes),
+            cfg.eval_batch, cfg.image_size, num_workers=args.num_workers,
+        )
+        return train, None, test
     # --train-data selects real/render/both (the ablationGBDAugmentation.py
     # --type protocol; 'both' is the standard two-loader training)
     which = getattr(args, "train_data", "both")
     real = render = None
     if which in ("both", "real"):
         real = BalancedLoader(
-            ClassBalancedIndex(str(root / args.real_subdir), "real"),
+            ClassBalancedIndex(
+                str(root / args.real_subdir), "real", classes=classes
+            ),
             cfg.items_per_batch, cfg.image_size,
             num_workers=args.num_workers, seed=cfg.seed,
         )
     if which in ("both", "render"):
         render = BalancedLoader(
-            ClassBalancedIndex(str(root / args.render_subdir), "render"),
+            ClassBalancedIndex(
+                str(root / args.render_subdir), "render", classes=classes
+            ),
             cfg.items_per_batch, cfg.image_size,
             num_workers=args.num_workers, seed=cfg.seed,
         )
     if real is None:  # render-only: it drives the loop
         real, render = render, None
     test = TestLoader(
-        FlatTestIndex(str(root / args.test_subdir)),
+        FlatTestIndex(str(root / args.test_subdir), classes=classes),
         cfg.eval_batch, cfg.image_size, num_workers=args.num_workers,
     )
     return real, render, test

@@ -118,13 +118,21 @@ class BalancedLoader:
         seed: int = 0,
         num_workers: int = 8,
         prefetch_depth: int = 2,
+        host_count: int = 1,
+        host_index: int = 0,
     ):
+        """host_count/host_index: per-host input sharding for multi-host
+        SPMD — each host reads a disjoint stride of the epoch's batches
+        (all hosts must use the same seed so the strides partition one
+        shared shuffled order)."""
         self.index = index
         self.items_per_batch = items_per_batch
         self.image_size = image_size
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.prefetch_depth = prefetch_depth
+        self.host_count = host_count
+        self.host_index = host_index
         self._rng = np.random.default_rng(seed)
 
     @property
@@ -132,7 +140,7 @@ class BalancedLoader:
         return self.items_per_batch * self.index.num_classes
 
     def __len__(self) -> int:
-        return len(self.index) // self.items_per_batch
+        return (len(self.index) // self.items_per_batch) // self.host_count
 
     def _make_batch(self, item_ids: np.ndarray, pool: cf.Executor) -> dict:
         paths, labels, eulers = [], [], []
@@ -153,8 +161,10 @@ class BalancedLoader:
         order = (
             self._rng.permutation(n_items) if self.shuffle else np.arange(n_items)
         )
-        for start in range(0, len(self) * self.items_per_batch, self.items_per_batch):
-            yield self._make_batch(order[start : start + self.items_per_batch], pool)
+        ipb = self.items_per_batch
+        for b in range(len(self)):
+            g = (b * self.host_count + self.host_index) * ipb
+            yield self._make_batch(order[g : g + ipb], pool)
 
     def __iter__(self) -> Iterator[dict]:
         if self.shuffle:
@@ -182,6 +192,8 @@ class FlatLoader:
         seed: int = 0,
         num_workers: int = 8,
         prefetch_depth: int = 2,
+        host_count: int = 1,
+        host_index: int = 0,
     ):
         self.index = index
         self.batch_size = batch_size
@@ -189,16 +201,19 @@ class FlatLoader:
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.prefetch_depth = prefetch_depth
+        self.host_count = host_count
+        self.host_index = host_index
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
-        return len(self.index) // self.batch_size
+        return (len(self.index) // self.batch_size) // self.host_count
 
     def _gen(self, pool: cf.Executor) -> Iterator[dict]:
         n = len(self.index)
         order = self._rng.permutation(n) if self.shuffle else np.arange(n)
-        for start in range(0, len(self) * self.batch_size, self.batch_size):
-            ids = order[start : start + self.batch_size]
+        for b in range(len(self)):
+            g = (b * self.host_count + self.host_index) * self.batch_size
+            ids = order[g : g + self.batch_size]
             images = list(
                 pool.map(
                     lambda i: decode_image(self.index.path(int(i)), self.image_size),

@@ -70,6 +70,32 @@ def generate_detection_set(
     return root
 
 
+def render_pose_pattern(
+    az: float, el: float, ct: float, image_size: int
+) -> np.ndarray:
+    """A pose-dependent image: a fixed colored 3D point cloud rotated by
+    R(az, el, ct) and orthographically splatted. A CNN can recover the
+    viewpoint from it, so end-to-end learning is demonstrable without
+    PASCAL3D+ data (used by the 'pose' pattern of generate_pose_dataset).
+    """
+    prng = np.random.default_rng(1234)  # the object: shared by all images
+    pts = prng.uniform(-1, 1, (160, 3))
+    colors = prng.integers(64, 256, (160, 3))
+    a, e, c = np.radians([az, el, ct])
+    Ra = np.array([[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+    Rb = np.array([[1, 0, 0], [0, np.cos(e), -np.sin(e)], [0, np.sin(e), np.cos(e)]])
+    Rc = np.array([[np.cos(c), -np.sin(c), 0], [np.sin(c), np.cos(c), 0], [0, 0, 1]])
+    P = pts @ (Rc @ Rb @ Ra).T
+    order = np.argsort(P[:, 2])  # painter's order on depth
+    s = image_size
+    img = np.zeros((s, s, 3), np.uint8)
+    xy = ((P[:, :2] * 0.4 + 0.5) * (s - 4)).astype(int) + 2
+    for i in order:
+        x, y = xy[i]
+        img[max(0, y - 1) : y + 2, max(0, x - 1) : x + 2] = colors[i]
+    return img
+
+
 def generate_pose_dataset(
     root: str | Path,
     classes: Sequence[str] = PASCAL3D_CLASSES,
@@ -77,13 +103,15 @@ def generate_pose_dataset(
     image_size: int = 64,
     seed: int = 0,
     write_info_mat: bool = False,
+    pattern: str = "noise",  # 'noise' (fast) | 'pose' (learnable content)
 ) -> Path:
     """Write a synthetic filename-encoded pose dataset; returns its root.
 
     Viewpoints: az ~ U(0, 360), el ~ U(-90, 90), ct ~ U(-45, 45),
-    dist ~ U(2, 10). Image content encodes nothing (random RGB noise).
-    With write_info_mat, also writes `<cls>_info.mat` index files like
-    setupDataOriginal_pascal3d.m:70 (requires scipy).
+    dist ~ U(2, 10). pattern='noise' images carry no signal (pipeline
+    tests); pattern='pose' renders a viewpoint-dependent point cloud so
+    the pose is learnable from pixels. With write_info_mat, also writes
+    `<cls>_info.mat` index files like setupDataOriginal_pascal3d.m:70.
     """
     root = Path(root)
     rng = np.random.default_rng(seed)
@@ -100,7 +128,10 @@ def generate_pose_dataset(
             ct = float(rng.uniform(-45, 45))
             d = float(rng.uniform(2, 10))
             name = make_name(f"{cls}_img{i:03d}object1", az, el, ct, d)
-            img = rng.integers(0, 256, (image_size, image_size, 3), np.uint8)
+            if pattern == "pose":
+                img = render_pose_pattern(az, el, ct, image_size)
+            else:
+                img = rng.integers(0, 256, (image_size, image_size, 3), np.uint8)
             Image.fromarray(img).save(cls_dir / f"{name}.png")
             names.append(name)
         if write_info_mat:

@@ -186,3 +186,23 @@ def test_per_bin_tangent_residuals_vs_scipy(rng):
         for k in range(4):
             want = ScipyRotation.from_matrix(key_R[k].T @ Ri).as_rotvec()
             np.testing.assert_allclose(got[i, k], want, atol=1e-4)
+
+
+def test_balanced_loader_host_sharding(dataset):
+    """Two hosts with the same seed read disjoint batch strides that
+    together cover the single-host epoch."""
+    def batches(host_count, host_index):
+        idx = ClassBalancedIndex(str(dataset), "real", classes=CLASSES)
+        loader = BalancedLoader(
+            idx, items_per_batch=1, image_size=48, seed=5, num_workers=2,
+            host_count=host_count, host_index=host_index,
+        )
+        return [b["euler"] for b in loader]
+
+    single = batches(1, 0)
+    h0 = batches(2, 0)
+    h1 = batches(2, 1)
+    assert len(h0) == len(h1) == len(single) // 2
+    for i in range(len(h0)):
+        np.testing.assert_array_equal(h0[i], single[2 * i])
+        np.testing.assert_array_equal(h1[i], single[2 * i + 1])

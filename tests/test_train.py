@@ -156,7 +156,8 @@ def test_trainer_loss_decreases_overfit(dataset, centers, tmp_path):
 
 
 def test_one_vs_n_device_equivalence(dataset, centers):
-    """The same batch gives the same loss on a 1-device and an 8-device mesh."""
+    """A 3-step loss trajectory is identical on a 1-device and an 8-device
+    mesh (params, optimizer, BN stats, and balance s all evolve equally)."""
     cfg = get_config("geodesic_bd", **TINY)
     dict_ = KMeansDictionary(cluster_centers=centers)
     real, _, _ = _loaders(dataset, cfg)
@@ -164,16 +165,18 @@ def test_one_vs_n_device_equivalence(dataset, centers):
     batch = {
         k: np.concatenate([v, v[:2]]) for k, v in batch.items()
     }
-    metrics_by_mesh = {}
+    trajectories = {}
     for n_dev in (1, 8):
         mesh = make_mesh(jax.devices()[:n_dev])
         trainer = Trainer(cfg, dictionary=dict_, mesh=mesh)
         state = trainer.init_state()
-        state, metrics = trainer._train_steps["main"](
-            state, trainer.shard_batch(batch)
-        )
-        metrics_by_mesh[n_dev] = {k: float(v) for k, v in metrics.items()}
-    for k in metrics_by_mesh[1]:
-        np.testing.assert_allclose(
-            metrics_by_mesh[1][k], metrics_by_mesh[8][k], rtol=2e-4, atol=1e-5
-        )
+        traj = []
+        for _ in range(3):
+            state, metrics = trainer._train_steps["main"](
+                state, trainer.shard_batch(batch)
+            )
+            traj.append({k: float(v) for k, v in metrics.items()})
+        trajectories[n_dev] = traj
+    for s1, s8 in zip(trajectories[1], trajectories[8]):
+        for k in s1:
+            np.testing.assert_allclose(s1[k], s8[k], rtol=5e-4, atol=1e-5)
