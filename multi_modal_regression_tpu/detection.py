@@ -151,6 +151,84 @@ def save_results_mat(
     spio.savemat(str(path), {"bbox": bb, "ypred": yp, "labels": lb})
 
 
+def ground_truth_per_class(annotations_by_image, class_name: str, class_id: int):
+    """Per-image ImageGroundTruth for one class from ObjectAnnotation lists
+    (the role of the VOC record loading in computeAVP.m:40-78: non-difficult
+    objects of the class with their boxes, axis-angle poses, and azimuths).
+
+    annotations_by_image: sequence of lists of tools.pascal3d_prep
+    .ObjectAnnotation (usable objects only are kept, matching the
+    reference's truncated/occluded/no-viewpoint filters).
+    """
+    import jax.numpy as jnp
+
+    from multi_modal_regression_tpu.geometry.so3 import (
+        log_so3,
+        rotation_from_euler,
+    )
+    from multi_modal_regression_tpu.metrics.detection import ImageGroundTruth
+
+    del class_id  # annotations carry class names
+    out = []
+    for objs in annotations_by_image:
+        sel = [o for o in objs if o.cls == class_name and o.usable]
+        if not sel:
+            out.append(None)
+            continue
+        az = jnp.asarray([o.az for o in sel], jnp.float32)
+        el = jnp.asarray([o.el for o in sel], jnp.float32)
+        ct = jnp.asarray([o.ct for o in sel], jnp.float32)
+        poses = np.asarray(log_so3(rotation_from_euler(az, el, ct)))
+        out.append(
+            ImageGroundTruth(
+                boxes=np.stack([np.asarray(o.bbox, np.float64) for o in sel]),
+                poses=poses,
+                azimuths=np.asarray([o.az % 360.0 for o in sel]),
+            )
+        )
+    return out
+
+
+def evaluate_detection_results(
+    annotations_by_image,
+    bboxes,
+    ypred,
+    labels,
+    classes,
+    scores=None,
+    nbins: int = 4,
+):
+    """Full AVP/ARP evaluation over all classes (the computeAVP.m /
+    computeARP.m driver): returns {class: {'ap', 'avp', 'arp', 'med_err_deg',
+    'med_az_err_deg'}} plus a 'mean' row."""
+    from multi_modal_regression_tpu.metrics.detection import (
+        compute_detection_metrics,
+    )
+
+    table = {}
+    for ci, cls in enumerate(classes):
+        gts = ground_truth_per_class(annotations_by_image, cls, ci)
+        dets = detections_per_class(bboxes, ypred, labels, scores, ci)
+        if all(g is None for g in gts):
+            continue
+        arp = compute_detection_metrics(gts, dets, mode="arp")
+        avp = compute_detection_metrics(gts, dets, mode="avp", nbins=nbins)
+        table[cls] = {
+            "ap": arp.ap,
+            "arp": arp.avp,
+            "avp": avp.avp,
+            "med_err_deg": arp.med_err,
+            "med_az_err_deg": avp.med_err,
+            "num_gt": arp.num_gt,
+        }
+    if table:
+        keys = ("ap", "arp", "avp", "med_err_deg", "med_az_err_deg")
+        table["mean"] = {
+            k: float(np.nanmean([v[k] for v in table.values()])) for k in keys
+        }
+    return table
+
+
 def detections_per_class(
     bboxes: Sequence[np.ndarray],
     ypred: Sequence[np.ndarray],

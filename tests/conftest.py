@@ -19,6 +19,11 @@ import jax
 # explicitly so tests always run on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeated suite runs skip recompiling the
+# (identical) model/train-step graphs, cutting wall time several-fold.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 

@@ -109,3 +109,38 @@ def test_detections_per_class_and_metrics(det_root):
     assert m.ap == pytest.approx(1.0)
     assert m.avp == pytest.approx(1.0)
     assert m.med_err < 1e-3
+
+
+def test_evaluate_detection_results_perfect():
+    """Detections placed exactly on GT with the true poses -> AP=AVP=ARP=1."""
+    from multi_modal_regression_tpu.detection import evaluate_detection_results
+    from multi_modal_regression_tpu.geometry.so3 import log_so3, rotation_from_euler
+    from multi_modal_regression_tpu.tools.pascal3d_prep import ObjectAnnotation
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    classes = ("car", "bus")
+    annos, bboxes, ypred, labels = [], [], [], []
+    for i in range(4):
+        objs = []
+        bb, yp, ll = [], [], []
+        for ci, cls in enumerate(classes):
+            az, el, ct = rng.uniform(5, 80, 3)
+            x1, y1 = rng.uniform(0, 100, 2)
+            box = np.array([x1, y1, x1 + 60, y1 + 40])
+            objs.append(ObjectAnnotation(
+                cls=cls, bbox=box, az=az, el=el, ct=ct, distance=5.0))
+            pose = np.asarray(log_so3(rotation_from_euler(
+                jnp.asarray(az, jnp.float32), jnp.asarray(el, jnp.float32),
+                jnp.asarray(ct, jnp.float32))))
+            bb.append(box); yp.append(pose); ll.append(ci)
+        annos.append(objs)
+        bboxes.append(np.stack(bb)); ypred.append(np.stack(yp))
+        labels.append(np.asarray(ll))
+    table = evaluate_detection_results(annos, bboxes, ypred, labels, classes)
+    for cls in classes:
+        assert table[cls]["ap"] == pytest.approx(1.0)
+        assert table[cls]["arp"] == pytest.approx(1.0)
+        assert table[cls]["avp"] == pytest.approx(1.0)
+        assert table[cls]["med_err_deg"] < 0.1
+    assert table["mean"]["ap"] == pytest.approx(1.0)
