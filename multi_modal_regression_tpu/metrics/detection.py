@@ -17,10 +17,7 @@ from typing import Sequence
 
 import numpy as np
 
-from multi_modal_regression_tpu.metrics.pose_error import (
-    _exp_so3_np,
-    geodesic_error_deg,
-)
+from multi_modal_regression_tpu.metrics.pose_error import geodesic_error_deg
 
 
 def box_overlap(boxes: np.ndarray, box: np.ndarray) -> np.ndarray:

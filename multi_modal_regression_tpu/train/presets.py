@@ -322,32 +322,39 @@ PRESETS: dict[str, dict] = {
     ),
     # learnJointCatPoseModel_{top1,weighted}.py / _top1_new.py ('top1_st')
     "joint_cat_pose_top1": dict(
+        num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v1", problem="joint_bd", mixing="top1",
         self_balance=False,
     ),
     "joint_cat_pose_top1_st": dict(
+        num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v1", problem="joint_bd", mixing="top1_st",
         self_balance=False,
     ),
     "joint_cat_pose_weighted": dict(
+        num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v1", problem="joint_bd", mixing="weighted",
         self_balance=False,
     ),
     # learnJointCatPoseModel2_{top1,weighted}.py (separate category layer4)
     "joint_cat_pose2_top1": dict(
+        num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v2", problem="joint_bd", mixing="top1",
         self_balance=False,
     ),
     "joint_cat_pose2_weighted": dict(
+        num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v2", problem="joint_bd", mixing="weighted",
         self_balance=False,
     ),
     # learnJointCatPoseModel3_{top1,weighted}.py (regression oracle)
     "joint_cat_pose3_top1": dict(
+        num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_reg_v3", problem="joint_reg", mixing="top1",
         self_balance=False,
     ),
     "joint_cat_pose3_weighted": dict(
+        num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_reg_v3", problem="joint_reg", mixing="weighted",
         self_balance=False,
     ),

@@ -40,7 +40,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from multi_modal_regression_tpu.data.targets import (
-    euler_to_pose,
     gmm_log_responsibilities,
     hard_bin_targets,
     per_bin_tangent_residuals,

@@ -14,7 +14,6 @@ see presets.py for the adaptors.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax
