@@ -394,6 +394,30 @@ def write_augmented_crops(
     return names
 
 
+def write_info_mat(
+    db_path: str | Path,
+    cls: str,
+    image_names: Sequence[str],
+    *,
+    pascal_train: Sequence[str] | None = None,
+    pascal_val: Sequence[str] | None = None,
+    suffix: str = "_info",
+) -> Path:
+    """Write a `<cls><suffix>.mat` index file (the split files the readers
+    consume: setupDataOriginal_pascal3d.m:70 writes image_names plus
+    pascal_train/pascal_val name lists)."""
+    import scipy.io as spio
+
+    out = Path(db_path) / f"{cls}{suffix}.mat"
+    payload = {"image_names": np.array(list(image_names))}
+    if pascal_train is not None:
+        payload["pascal_train"] = np.array(list(pascal_train))
+    if pascal_val is not None:
+        payload["pascal_val"] = np.array(list(pascal_val))
+    spio.savemat(str(out), payload)
+    return out
+
+
 def write_detection_crops(
     images: dict[str, np.ndarray],
     detections: dict[str, tuple[np.ndarray, np.ndarray]],

@@ -162,3 +162,17 @@ def test_write_detection_crops_roundtrip(tmp_path):
     assert s0["xdata"].shape == (2, 64, 64, 3)
     np.testing.assert_array_equal(s0["labels"], [0, 2])  # back to 0-based
     assert idx.load_image(1) is None
+
+
+def test_write_info_mat_roundtrip(tmp_path):
+    from multi_modal_regression_tpu.tools.pascal3d_prep import write_info_mat
+    from multi_modal_regression_tpu.data.index import _class_image_names
+
+    names = ["car_a1object1_a1.0_e2.0_t3.0_d4.0",
+             "car_b2object1_a5.0_e6.0_t7.0_d8.0"]
+    write_info_mat(tmp_path, "car", names, pascal_train=names[:1],
+                   pascal_val=names[1:])
+    got = _class_image_names(tmp_path, "car")
+    assert list(got) == names
+    got_train = _class_image_names(tmp_path, "car", info_key="pascal_train")
+    assert list(got_train) == names[:1]
