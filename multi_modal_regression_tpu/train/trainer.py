@@ -72,6 +72,7 @@ class Trainer:
         if self.workdir:
             self.workdir.mkdir(parents=True, exist_ok=True)
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.val_history: list[float] = []  # MedErr curve (plots/<S>.mat role)
         self.model = build_model(config)
         self.problem = build_problem(config, dictionary)
         self.tx = build_optimizer(config)
@@ -204,6 +205,7 @@ class Trainer:
                 med = self.evaluate(state, test_loader)
                 print(f"[{phase}] step {step} MedErr {med:.3f} deg", flush=True)
                 self._log({"step": step, "med_err": med, "val_loss": med})
+                self.val_history.append(med)
             if cfg.max_iterations and n_steps >= cfg.max_iterations:
                 break
         return state
@@ -238,6 +240,14 @@ class Trainer:
                 self._log(
                     {"step": int(state.step), "epoch": epoch, "med_err": med}
                 )
+                self.val_history.append(med)
+        if self.workdir and self.val_history:
+            # validation-curve history (the reference's plots/<S>.mat,
+            # learnGeodesicBDModel.py:257-258)
+            np.savez(
+                self.workdir / "plots.npz",
+                val_loss=np.asarray(self.val_history),
+            )
         return state
 
     # -- evaluation -------------------------------------------------------
