@@ -364,12 +364,14 @@ def cmd_dictionary(args) -> int:
 def cmd_prepare_data(args) -> int:
     from multi_modal_regression_tpu.tools.synthetic import generate_pose_dataset
 
-    for sub in (args.real_subdir, args.render_subdir, args.test_subdir):
+    for i, sub in enumerate((args.real_subdir, args.render_subdir, args.test_subdir)):
         root = generate_pose_dataset(
             Path(args.out) / sub,
             images_per_class=args.images_per_class,
             image_size=args.image_size,
-            seed=args.seed + hash(sub) % 1000,
+            # deterministic per-subdir seed (hash() is process-randomized)
+            seed=args.seed + 1000 * (i + 1),
+            pattern=args.pattern,
         )
         print(f"wrote {root}", flush=True)
     return 0
@@ -439,6 +441,8 @@ def main(argv=None) -> int:
     p_prep.add_argument("--images-per-class", type=int, default=8)
     p_prep.add_argument("--image-size", type=int, default=64)
     p_prep.add_argument("--seed", type=int, default=0)
+    p_prep.add_argument("--pattern", choices=("noise", "pose"), default="noise",
+                        help="'pose' renders learnable viewpoint-dependent content")
     p_prep.set_defaults(fn=cmd_prepare_data)
 
     args = parser.parse_args(argv)

@@ -72,20 +72,25 @@ def _prefetched(make_gen, num_workers: int, depth: int) -> Iterator:
         return False
 
     def worker():
+        err = None
         try:
             with cf.ThreadPoolExecutor(num_workers) as pool:
                 for item in make_gen(pool):
                     if not _put(item):
                         return
+        except BaseException as e:  # surface producer failures, don't
+            err = e  # silently truncate the epoch (re-raised below)
         finally:
-            _put(sentinel)
+            _put((sentinel, err))
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()
     try:
         while True:
             item = q.get()
-            if item is sentinel:
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is sentinel:
+                if item[1] is not None:
+                    raise item[1]
                 return
             yield item
     finally:

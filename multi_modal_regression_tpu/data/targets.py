@@ -32,13 +32,11 @@ from multi_modal_regression_tpu.geometry.so3 import (
 )
 
 
-def pairwise_sqeuclidean(a: jax.Array, b: jax.Array) -> jax.Array:
-    """(N, D), (K, D) -> (N, K) squared distances (cdist 'sqeuclidean')."""
-    # |a|^2 - 2ab + |b|^2: the cross term is an MXU matmul
-    aa = jnp.sum(a * a, axis=-1, keepdims=True)
-    bb = jnp.sum(b * b, axis=-1)
-    ab = a @ b.T
-    return jnp.maximum(aa - 2.0 * ab + bb[None, :], 0.0)
+# single shared implementation (also used by dictionary learning and the
+# Pallas fallback) — one place to fix distance numerics
+from multi_modal_regression_tpu.dictionary.common import (  # noqa: E402
+    pairwise_sqeuclidean,
+)
 
 
 def euler_to_pose(euler: jax.Array, ydata_type: str = "axis_angle") -> jax.Array:

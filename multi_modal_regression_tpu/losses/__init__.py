@@ -25,6 +25,7 @@ from multi_modal_regression_tpu.losses.bin_delta import (
     riemannian_loss,
     per_bin_residual_loss,
     decode_bin_delta,
+    expected_regression,
 )
 from multi_modal_regression_tpu.losses.self_balance import (
     self_balanced,
@@ -48,6 +49,7 @@ __all__ = [
     "riemannian_loss",
     "per_bin_residual_loss",
     "decode_bin_delta",
+    "expected_regression",
     "self_balanced",
     "init_log_balance",
 ]

@@ -98,7 +98,7 @@ def relaxed_bd_loss(
     return lc + alpha * lr
 
 
-def _expected_regression(
+def expected_regression(
     scores: jax.Array,
     candidates: jax.Array,  # (B, K, D) candidate poses per cluster
     y_true: jax.Array,  # (B, D)
@@ -138,7 +138,7 @@ def probabilistic_loss(
     else:
         lc = cross_entropy(scores, bin_target)
     candidates = residual[:, None, :] + centers[None, :, :]  # (B, K, D)
-    lr = _expected_regression(scores, candidates, y_true, per_sample_loss)
+    lr = expected_regression(scores, candidates, y_true, per_sample_loss)
     return lc + alpha * lr
 
 
@@ -161,7 +161,7 @@ def probabilistic_multires_loss(
     else:
         lc = cross_entropy(scores, bin_target)
     candidates = centers[None, :, :] + residuals  # (B, K, D)
-    lr = _expected_regression(scores, candidates, y_true, per_sample_loss)
+    lr = expected_regression(scores, candidates, y_true, per_sample_loss)
     return lc + alpha * lr
 
 

@@ -84,15 +84,18 @@ def azimuth_bin(azimuth: float, nbins: int) -> int:
     """Azimuth (degrees) -> bin index in [0, nbins), matching find_interval.
 
     Bin edges are [0, 360/(2n), 360/(2n)+360/n, ...]: bin 0 straddles 0
-    degrees (computeAVP.m:5, find_interval).
+    degrees (computeAVP.m:5, find_interval :168-178). The MATLAB loop uses a
+    strict `azimuth < a(i)` test, so an azimuth exactly on an edge belongs
+    to the UPPER bin (searchsorted side='right'), the loop index caps at the
+    last edge, and azimuth beyond the last edge wraps to bin 0.
     """
     edges = np.concatenate([
         [0.0],
         np.arange(360.0 / (nbins * 2), 360.0 - 360.0 / (nbins * 2) + 1e-9, 360.0 / nbins),
     ])
-    idx = int(np.searchsorted(edges, azimuth, side="left"))
     if azimuth > edges[-1]:
         return 0
+    idx = min(int(np.searchsorted(edges, azimuth, side="right")), len(edges) - 1)
     return idx - 1
 
 

@@ -116,10 +116,14 @@ class SnapshotEnsembleEvaluator:
             ),
             donate_argnums=(0,),
         )
-        # fresh optimizer state for the fine-tune optimizer
+        # fresh optimizer state + reset balance scalar (the reference
+        # fine-tune starts with s = 0, evaluateGeodesicBDModel.py)
+        import jax.numpy as jnp
+
         state = state.replace(
             opt_state=tx.init(state.params),
             step=state.step * 0,
+            s=jnp.zeros((), jnp.float32),
         )
         epochs = cfg.eval_num_epochs if num_epochs is None else num_epochs
         local_step = 0

@@ -265,7 +265,10 @@ def build_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
 
 PRESETS: dict[str, dict] = {
     # learnSimpleBDModel.py — CE + MSE(residual), self-balanced throughout
-    "simple_bd": dict(model_kind="one_bin_delta", problem="simple"),
+    "simple_bd": dict(
+        model_kind="one_bin_delta", problem="simple",
+        num_warmup_epochs=0,  # single training() phase (learnSimpleBDModel.py:104)
+    ),
     # learnGeodesicBDModel.py — the north-star config
     "geodesic_bd": dict(model_kind="one_bin_delta", problem="geodesic"),
     # learnGeodesicBDModel.py --multires
@@ -280,20 +283,27 @@ PRESETS: dict[str, dict] = {
     "euclidean_bd": dict(model_kind="one_bin_delta", problem="euclidean"),
     "laplacian_bd": dict(model_kind="one_bin_delta", problem="laplacian"),
     # learnLogEuclideanModel.py ('m2' tangent residuals)
-    "log_euclidean_bd": dict(model_kind="one_bin_delta", problem="log_euclidean"),
+    "log_euclidean_bd": dict(
+        model_kind="one_bin_delta", problem="log_euclidean",
+        num_warmup_epochs=0,  # single-phase script (learnLogEuclideanModel.py:111)
+    ),
     # learnRiemannianBDModel.py
     "riemannian_bd": dict(model_kind="one_bin_delta", problem="riemannian"),
     # learnProbabilisticBDModel.py (GMM soft bins, expected loss)
-    "probabilistic_bd": dict(model_kind="one_bin_delta", problem="probabilistic"),
+    "probabilistic_bd": dict(
+        model_kind="one_bin_delta", problem="probabilistic",
+        num_warmup_epochs=0,  # single-phase (learnProbabilisticBDModel.py:106)
+    ),
     "probabilistic_bd_multires": dict(
-        model_kind="probabilistic", problem="probabilistic_multires", multires=True
+        model_kind="probabilistic", problem="probabilistic_multires",
+        multires=True, num_warmup_epochs=0,
     ),
     # ablationXBDModel.py (RBF-relaxed soft bins)
     "relaxed_bd": dict(model_kind="one_bin_delta", problem="relaxed_kmeans"),
     # learnClassificationModel.py (dict_size=100) / _new.py (200)
     "classification": dict(
         model_kind="per_class_classification", problem="classification",
-        dict_size=100,
+        dict_size=100, num_warmup_epochs=0,
     ),
     # learnGeodesicRegressionModel.py (--nonlinearity valid)
     "geodesic_regression": dict(
@@ -405,10 +415,13 @@ PRESETS: dict[str, dict] = {
     "objectnet_classification": dict(
         model_kind="labelconcat_classification", problem="classification",
         num_classes=100, dict_size=16, self_balance=False,
+        num_warmup_epochs=0,  # single-phase (learnObjectnetClassificationModel.py:89)
     ),
     # ablationGeodesicBDModel.py — geodesic BD evaluated on the val split
     # (model selection); identical objective, ablation data split
-    "ablation_geodesic_bd": dict(model_kind="one_bin_delta", problem="geodesic"),
+    "ablation_geodesic_bd": dict(
+        model_kind="one_bin_delta", problem="geodesic", self_balance=False,
+    ),
     # ablationXBDModel.py — relaxed soft bins with data-driven gamma
     # (get_gamma over the dictionary, ablationXBDModel.py:61-62)
     "ablation_xbd": dict(
@@ -417,11 +430,12 @@ PRESETS: dict[str, dict] = {
     # ablationGBDAugmentation.py — same objective; the augmented-vs-render
     # data selection is the loader choice (--type real/render/both)
     "ablation_gbd_augmentation": dict(
-        model_kind="one_bin_delta", problem="geodesic"
+        model_kind="one_bin_delta", problem="geodesic", self_balance=False,
     ),
     # ablationDictionarySizeC0.py — classification-only dict-size sweep
     "ablation_c0": dict(
-        model_kind="per_class_classification", problem="classification"
+        model_kind="per_class_classification", problem="classification",
+        num_warmup_epochs=0,
     ),
 }
 

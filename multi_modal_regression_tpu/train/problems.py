@@ -50,6 +50,7 @@ from multi_modal_regression_tpu.geometry.quaternion import convert_dictionary
 from multi_modal_regression_tpu.geometry.so3 import exp_so3, log_so3
 from multi_modal_regression_tpu.losses import (
     cross_entropy,
+    decode_bin_delta,
     geodesic_aa,
     geodesic_quat,
     geodesic_rotmat,
@@ -57,6 +58,7 @@ from multi_modal_regression_tpu.losses import (
     l1,
     mse,
 )
+from multi_modal_regression_tpu.losses.bin_delta import expected_regression
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,9 +87,9 @@ class Problem:
     metric: str = "pose"
 
 
-def _decode_hard(scores, residual, centers):
-    ind = jnp.argmax(scores, axis=-1)
-    return centers[ind] + residual
+# decode = dictionary atom at the argmax bin + residual (shared with the
+# tested loss zoo, losses.bin_delta.decode_bin_delta)
+_decode_hard = decode_bin_delta
 
 
 def objectnet_quaternion_dictionary() -> jax.Array:
@@ -205,9 +207,12 @@ def make_problem(
             ypred = _decode_hard(scores, residual, C)
             return lc, geodesic_aa(ypred, tg["y"])
 
+        # the relaxed ablation trains with FIXED weights (alpha), no
+        # self-balance scalar anywhere (ablationXBDModel.py:63-170)
         return Problem(
             name, "axis_angle", targets, warmup, main,
             lambda out: _decode_hard(out[0], out[1], C),
+            warmup_balance=None, main_balance=None,
         )
 
     if name in ("probabilistic", "probabilistic_multires"):
@@ -237,12 +242,11 @@ def make_problem(
                 cand = mu[None, :, :] + residual  # (B, K, D)
             else:
                 cand = mu[None, :, :] + residual[:, None, :]
-            per = jax.vmap(
-                lambda c: geodesic_aa(c, tg["y"], reduce=False),
-                in_axes=1, out_axes=1,
-            )(cand)  # (B, K)
-            probs = jax.nn.softmax(scores, -1)
-            return lc, jnp.mean(jnp.sum(probs * per, axis=-1))
+            lr = expected_regression(
+                scores, cand, tg["y"],
+                lambda p, t: geodesic_aa(p, t, reduce=False),
+            )
+            return lc, lr
 
         def decode(out):
             # expectation decode: dict[argmax] + delta (argmax delta if multires)
@@ -303,7 +307,13 @@ def make_problem(
             ind = jnp.argmax(scores, axis=-1)
             return log_so3(key_R[ind] @ exp_so3(residual))
 
-        return Problem(name, "axis_angle", targets, losses, losses, decode)
+        # single-phase script using the warm-up balance form for its whole
+        # run: Lc + 0.5*exp(-2s)*Lr + s, s = 0.5*log(Lr)
+        # (learnLogEuclideanModel.py:135,140)
+        return Problem(
+            name, "axis_angle", targets, losses, losses, decode,
+            warmup_balance="warmup", main_balance="warmup",
+        )
 
     if name == "classification":
         C = jnp.asarray(centers, jnp.float32)

@@ -90,7 +90,19 @@ def make_train_step(
             opt_state=new_opt,
             s=s_next,
         )
-        metrics = {"loss": loss, "lc": lc, "lr": lr, "s": state.s}
+        # 'alpha' = the effective Lr weight, logged post-update like the
+        # reference (0.5*exp(-2s) in warm-up form, exp(-s) in main form —
+        # learnGeodesicBDModel.py:137,189); constant when balance is off
+        if balance is None:
+            alpha_logged = jnp.asarray(alpha, jnp.float32)
+        elif balance == "warmup":
+            alpha_logged = 0.5 * jnp.exp(-2.0 * s_next)
+        else:
+            alpha_logged = jnp.exp(-s_next)
+        metrics = {
+            "loss": loss, "lc": lc, "lr": lr, "s": state.s,
+            "alpha": alpha_logged,
+        }
         return new_state, metrics
 
     return train_step

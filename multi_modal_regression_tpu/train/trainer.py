@@ -185,9 +185,9 @@ class Trainer:
                 dt = time.time() - t0
                 rec = {
                     "step": step, "phase": phase, **m,
-                    # reference scalar names (learnGeodesicBDModel.py:187-189)
+                    # reference scalar name (learnGeodesicBDModel.py:187-189);
+                    # 'alpha' comes from the step (post-update, phase-correct)
                     "train_loss": m["loss"],
-                    "alpha": float(np.exp(-m["s"])),
                     "images_per_sec": images_done / max(dt, 1e-9),
                 }
                 print(

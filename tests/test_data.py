@@ -206,3 +206,19 @@ def test_balanced_loader_host_sharding(dataset):
     for i in range(len(h0)):
         np.testing.assert_array_equal(h0[i], single[2 * i])
         np.testing.assert_array_equal(h1[i], single[2 * i + 1])
+
+
+def test_loader_propagates_worker_errors(dataset, tmp_path):
+    """A corrupt image must raise, not silently truncate the epoch."""
+    import shutil
+
+    root = tmp_path / "bad"
+    shutil.copytree(dataset, root)
+    # corrupt one PNG
+    victim = next((root / CLASSES[0]).glob("*.png"))
+    victim.write_bytes(b"not a png")
+    idx = ClassBalancedIndex(str(root), "real", classes=CLASSES)
+    loader = BalancedLoader(idx, items_per_batch=1, image_size=48,
+                            shuffle=False, num_workers=2)
+    with pytest.raises(Exception):
+        list(loader)

@@ -204,3 +204,35 @@ class TestReferenceParity:
         np.testing.assert_allclose(
             mean_class_accuracy(yt, yp, 5), self.hf.get_accuracy(yt, yp, 5), rtol=1e-12
         )
+
+
+def test_azimuth_bin_matches_matlab_find_interval():
+    """Brute-force parity with computeAVP.m's find_interval (:168-178):
+    strict `azimuth < edge` loop, index capped at the last edge, wrap of
+    azimuths beyond the last edge to bin 0."""
+    from multi_modal_regression_tpu.metrics.detection import azimuth_bin
+
+    for nbins in (4, 8, 16, 24):
+        half = 360.0 / (2 * nbins)
+        edges = [0.0] + list(np.arange(half, 360.0 - half + 1e-9, 360.0 / nbins))
+
+        def matlab_find_interval(az):
+            i = len(edges)  # MATLAB loop leaves i at numel if never broken
+            for k, e in enumerate(edges, start=1):
+                if az < e:
+                    i = k
+                    break
+            ind = i - 1  # 1-based ind
+            if az > edges[-1]:
+                ind = 1
+            return ind - 1  # 0-based
+
+        test_azimuths = (
+            list(np.linspace(0, 359.99, 73))
+            + edges  # exactly on every edge
+            + [0.0, 359.999, edges[-1]]
+        )
+        for az in test_azimuths:
+            assert azimuth_bin(float(az), nbins) == matlab_find_interval(float(az)), (
+                nbins, az
+            )
