@@ -71,7 +71,7 @@ def main() -> None:
     }
     batch = trainer.shard_batch(batch)
 
-    step_fn = trainer._train_steps["main"]
+    step_fn = trainer.train_step_fn("main")
     for _ in range(WARMUP_STEPS):
         state, metrics = step_fn(state, batch)
     float(metrics["loss"])  # host fetch: block_until_ready does not

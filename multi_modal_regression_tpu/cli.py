@@ -299,7 +299,7 @@ def cmd_predict(args) -> int:
         )
 
         index = DetectionSetIndex(args.det_path)
-        bboxes, ypred, labels = run_detection_inference(
+        bboxes, ypred, labels, _scores = run_detection_inference(
             trainer.apply_fn, trainer.problem, state, index,
             batch_size=cfg.eval_batch,
         )

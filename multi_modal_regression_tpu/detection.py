@@ -52,8 +52,15 @@ class DetectionSetIndex:
         return len(self.image_names)
 
     def load_image(self, idx: int) -> dict | None:
-        """{'xdata' uint8 (n,S,S,3), 'bboxes' (n,4), 'labels' (n,) 0-based}
-        or None for images with no detections."""
+        """{'xdata' uint8 (n,S,S,3), 'bboxes' raw (n,4|5), 'boxes' (n,4),
+        'scores' (n,), 'labels' (n,) 0-based} or None for images with no
+        detections.
+
+        Reference detection sets store (n, 5) [x1 y1 x2 y2 score] rows
+        (setupDataDetection_maskrcnn.m:41,55,66); the score column ranks
+        the PR curve (computeAVP.m:75,107). Plain (n, 4) sets get unit
+        scores.
+        """
         import scipy.io as spio
 
         tmp = spio.loadmat(
@@ -63,9 +70,15 @@ class DetectionSetIndex:
         xdata = np.asarray(tmp["xdata"])
         if xdata.size == 0:
             return None
+        raw = np.asarray(tmp["bboxes"], np.float64)
+        raw = raw.reshape(len(raw), -1)
+        boxes = raw[:, :4]
+        scores = raw[:, 4] if raw.shape[1] >= 5 else np.ones(len(raw))
         return {
             "xdata": xdata.astype(np.uint8),
-            "bboxes": np.asarray(tmp["bboxes"], np.float64).reshape(-1, 4),
+            "bboxes": raw,
+            "boxes": boxes,
+            "scores": scores,
             # reference labels are 1-based MATLAB ids (:60)
             "labels": np.asarray(tmp["labels"], np.int64).ravel() - 1,
         }
@@ -77,8 +90,10 @@ def run_detection_inference(
     state: TrainState,
     index: DetectionSetIndex,
     batch_size: int = 64,
-) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
-    """Per-image (bboxes, ypred, labels) lists over a detection set."""
+) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
+    """Per-image (bboxes_raw, ypred, labels, scores) lists over a detection
+    set. bboxes_raw keeps the stored columns (incl. the score column when
+    present) so saved results match the reference layout."""
 
     @jax.jit
     def _predict(xdata, label):
@@ -100,7 +115,7 @@ def run_detection_inference(
         owners.append(np.full(len(sample["labels"]), i))
     if not all_x:
         empty = [np.array([]) for _ in range(len(index))]
-        return empty, list(empty), list(empty)
+        return empty, list(empty), list(empty), list(empty)
 
     X = np.concatenate(all_x)
     L = np.concatenate(all_l).astype(np.int32)
@@ -119,18 +134,20 @@ def run_detection_inference(
         preds.append(yp[: batch_size - pad] if pad else yp)
     Y = np.concatenate(preds)
 
-    bboxes_out, ypred_out, labels_out = [], [], []
+    bboxes_out, ypred_out, labels_out, scores_out = [], [], [], []
     for i, sample in enumerate(per_image):
         if sample is None:
             bboxes_out.append(np.array([]))
             ypred_out.append(np.array([]))
             labels_out.append(np.array([]))
+            scores_out.append(np.array([]))
         else:
             sel = O == i
             bboxes_out.append(sample["bboxes"])
             ypred_out.append(Y[sel])
             labels_out.append(sample["labels"])
-    return bboxes_out, ypred_out, labels_out
+            scores_out.append(sample["scores"])
+    return bboxes_out, ypred_out, labels_out, scores_out
 
 
 def save_results_mat(
@@ -153,12 +170,20 @@ def save_results_mat(
 
 def ground_truth_per_class(annotations_by_image, class_name: str, class_id: int):
     """Per-image ImageGroundTruth for one class from ObjectAnnotation lists
-    (the role of the VOC record loading in computeAVP.m:40-78: non-difficult
-    objects of the class with their boxes, axis-angle poses, and azimuths).
+    (the VOC record loading of computeAVP.m:40-63 / computeARP.m:40-69).
 
-    annotations_by_image: sequence of lists of tools.pascal3d_prep
-    .ObjectAnnotation (usable objects only are kept, matching the
-    reference's truncated/occluded/no-viewpoint filters).
+    Protocol parity:
+      - an image whose entry is None (no annotation file) yields None —
+        its detections are SKIPPED by the metric (computeAVP.m:42-43);
+      - GT keeps class-matching NON-DIFFICULT objects (no truncated/occluded
+        filter at eval time — that filter is training prep only);
+      - an annotated image with zero such objects yields an EMPTY
+        ImageGroundTruth, so its detections count as false positives;
+      - objects with distance == 0 fall back to the coarse viewpoint
+        (azimuth_coarse, elevation_coarse, theta — computeARP.m:57-67).
+
+    All euler->axis-angle conversions run as ONE batched call (per-image
+    device dispatches through the TPU tunnel are ruinously slow).
     """
     import jax.numpy as jnp
 
@@ -169,21 +194,46 @@ def ground_truth_per_class(annotations_by_image, class_name: str, class_id: int)
     from multi_modal_regression_tpu.metrics.detection import ImageGroundTruth
 
     del class_id  # annotations carry class names
-    out = []
+    selected: list[list] = []
+    flat_angles: list[tuple[float, float, float]] = []
     for objs in annotations_by_image:
-        sel = [o for o in objs if o.cls == class_name and o.usable]
-        if not sel:
+        if objs is None:
+            selected.append(None)
+            continue
+        sel = [o for o in objs if o.cls == class_name and not o.difficult]
+        selected.append(sel)
+        flat_angles.extend(o.eval_angles for o in sel)
+
+    if flat_angles:
+        ang = np.asarray(flat_angles, np.float32)
+        poses_all = np.asarray(
+            log_so3(
+                rotation_from_euler(
+                    jnp.asarray(ang[:, 0]), jnp.asarray(ang[:, 1]),
+                    jnp.asarray(ang[:, 2]),
+                )
+            )
+        )
+    else:
+        poses_all = np.zeros((0, 3))
+
+    out = []
+    cursor = 0
+    for sel in selected:
+        if sel is None:
             out.append(None)
             continue
-        az = jnp.asarray([o.az for o in sel], jnp.float32)
-        el = jnp.asarray([o.el for o in sel], jnp.float32)
-        ct = jnp.asarray([o.ct for o in sel], jnp.float32)
-        poses = np.asarray(log_so3(rotation_from_euler(az, el, ct)))
+        n = len(sel)
+        poses = poses_all[cursor : cursor + n]
+        cursor += n
         out.append(
             ImageGroundTruth(
-                boxes=np.stack([np.asarray(o.bbox, np.float64) for o in sel]),
+                boxes=(
+                    np.stack([np.asarray(o.bbox, np.float64)[:4] for o in sel])
+                    if n else np.zeros((0, 4))
+                ),
                 poses=poses,
-                azimuths=np.asarray([o.az % 360.0 for o in sel]),
+                azimuths=np.asarray([o.eval_angles[0] % 360.0 for o in sel]),
             )
         )
     return out
@@ -255,9 +305,11 @@ def detections_per_class(
             if scores is not None
             else np.ones(int(sel.sum()))
         )
+        raw = np.asarray(bboxes[i], np.float64)
+        raw = raw.reshape(len(raw), -1)
         out.append(
             ImageDetections(
-                boxes=np.asarray(bboxes[i]).reshape(-1, 4)[sel],
+                boxes=raw[sel, :4],  # raw rows may carry a 5th score column
                 scores=s,
                 poses=np.asarray(ypred[i])[sel],
             )

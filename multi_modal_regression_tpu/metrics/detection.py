@@ -70,11 +70,16 @@ def azimuth_from_axis_angle(y: np.ndarray) -> float:
     ])
     R = np.eye(3) + np.sin(t) * V + (1.0 - np.cos(t)) * (V @ V)
     el = np.sign(-R[1, 2]) * np.degrees(np.arccos(np.clip(R[2, 2], -1.0, 1.0)))
-    if el != 0:
-        sel = np.sin(np.radians(el))
+    sel = np.sin(np.radians(el))
+    if el != 0 and abs(sel) > 1e-12:
         az = np.degrees(np.arctan2(R[2, 0] / sel, R[2, 1] / sel))
     else:
+        # el == 0 or +/-180: the Z-rotation factor is read off directly
+        # (guards the 0/0 NaN the MATLAB original traps with `keyboard`,
+        # computeAVP.m:166)
         az = np.degrees(np.arctan2(R[1, 0], R[0, 0]))
+    if not np.isfinite(az):
+        raise ValueError(f"non-finite azimuth from pose {y}")
     if az < 0:
         az += 360.0
     return float(az)
@@ -148,7 +153,13 @@ def compute_detection_metrics(
     errors = []
     total_gt = 0
     for gt, det in zip(gts, dets):
-        n = 0 if gt is None else len(gt.boxes)
+        if gt is None:
+            # image not annotated for this class: its detections are
+            # SKIPPED, not counted as false positives (computeAVP.m:42-43).
+            # An annotated image with zero objects is an ImageGroundTruth
+            # with empty boxes — those detections DO count as FPs.
+            continue
+        n = len(gt.boxes)
         total_gt += n
         if det is None or len(det.boxes) == 0:
             continue

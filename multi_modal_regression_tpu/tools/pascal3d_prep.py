@@ -206,11 +206,25 @@ class ObjectAnnotation:
     cad_index: int = 0
     truncated: bool = False
     occluded: bool = False
+    # evaluation-protocol fields (computeAVP.m:49-63): 'difficult' is the
+    # eval filter; coarse angles are the fallback when distance == 0
+    difficult: bool = False
+    azimuth_coarse: float = 0.0
+    elevation_coarse: float = 0.0
 
     @property
     def usable(self) -> bool:
-        """The reference's filters (setupDataOriginal_pascal3d.m:89-94)."""
+        """The TRAINING-prep filters (setupDataOriginal_pascal3d.m:89-94).
+        Evaluation GT uses only the `difficult` flag (computeAVP.m:49-50)."""
         return not self.truncated and not self.occluded and self.distance != 0
+
+    @property
+    def eval_angles(self) -> tuple[float, float, float]:
+        """(az, el, ct) with the coarse fallback for distance == 0
+        (computeARP.m:57-67)."""
+        if self.distance == 0:
+            return self.azimuth_coarse, self.elevation_coarse, self.ct
+        return self.az, self.el, self.ct
 
 
 def _correct_angle(x: float) -> float:

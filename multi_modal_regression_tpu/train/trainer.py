@@ -98,6 +98,11 @@ class Trainer:
             else None
         )
 
+    def train_step_fn(self, phase: str = "main"):
+        """The compiled (donated-state) train step for a phase — the public
+        accessor used by bench.py / __graft_entry__ / external drivers."""
+        return self._train_steps[phase]
+
     # -- state ------------------------------------------------------------
 
     def init_state(self, rng_seed: int | None = None) -> TrainState:

@@ -50,10 +50,10 @@ def test_run_detection_inference_and_save(det_root, tmp_path):
     trainer = Trainer(cfg, dictionary=KMeansDictionary(cluster_centers=centers))
     state = trainer.init_state()
     idx = DetectionSetIndex(str(det_root))
-    bboxes, ypred, labels = run_detection_inference(
+    bboxes, ypred, labels, scores = run_detection_inference(
         trainer.apply_fn, trainer.problem, state, idx, batch_size=4
     )
-    assert len(bboxes) == len(ypred) == len(labels) == len(idx)
+    assert len(bboxes) == len(ypred) == len(labels) == len(scores) == len(idx)
     for i in range(len(idx)):
         sample = idx.load_image(i)
         if sample is None:
@@ -144,3 +144,89 @@ def test_evaluate_detection_results_perfect():
         assert table[cls]["avp"] == pytest.approx(1.0)
         assert table[cls]["med_err_deg"] < 0.1
     assert table["mean"]["ap"] == pytest.approx(1.0)
+
+
+def test_detection_index_with_score_column(tmp_path):
+    """(n, 5) [x1 y1 x2 y2 score] rows (setupDataDetection_maskrcnn.m:41)
+    split into boxes + scores; raw rows preserved for results files."""
+    import scipy.io as spio
+
+    root = tmp_path / "d5"
+    (root / "all").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    spio.savemat(str(root / "all" / "img0.mat"), {
+        "xdata": rng.integers(0, 256, (2, 32, 32, 3), np.uint8),
+        "bboxes": np.array([[1, 2, 30, 40, 0.9], [5, 6, 25, 35, 0.4]]),
+        "labels": np.array([1, 2]),
+    })
+    spio.savemat(str(root / "dbinfo.mat"), {"image_names": np.array(["img0"])})
+    idx = DetectionSetIndex(str(root))
+    s = idx.load_image(0)
+    assert s["bboxes"].shape == (2, 5)
+    assert s["boxes"].shape == (2, 4)
+    np.testing.assert_allclose(s["scores"], [0.9, 0.4])
+
+
+def test_score_ranking_drives_pr_curve():
+    """A low-score false positive must not hurt AP (it ranks last); with
+    unit scores and FP-first file order it would."""
+    gts = [ImageGroundTruth(boxes=np.array([[0, 0, 50, 50.0]]),
+                            poses=np.zeros((1, 3)))]
+    from multi_modal_regression_tpu.metrics.detection import ImageDetections
+
+    dets = [ImageDetections(
+        boxes=np.array([[200, 200, 240, 240.0], [0, 0, 50, 50.0]]),  # FP first
+        scores=np.array([0.1, 0.9]),
+        poses=np.zeros((2, 3)),
+    )]
+    m = compute_detection_metrics(gts, dets, mode="arp")
+    assert m.ap == pytest.approx(1.0)  # TP ranks first by score
+    dets_unit = [ImageDetections(
+        boxes=dets[0].boxes, scores=np.ones(2), poses=dets[0].poses
+    )]
+    m2 = compute_detection_metrics(gts, dets_unit, mode="arp")
+    assert m2.ap < 1.0  # stable file order puts the FP first
+
+
+def test_unannotated_images_skip_detections():
+    """GT None (no annotation file) skips detections entirely; an annotated
+    image with zero objects counts them as FPs (computeAVP.m:42-43)."""
+    from multi_modal_regression_tpu.metrics.detection import ImageDetections
+
+    gt_obj = ImageGroundTruth(boxes=np.array([[0, 0, 50, 50.0]]),
+                              poses=np.zeros((1, 3)))
+    det_tp = ImageDetections(boxes=np.array([[0, 0, 50, 50.0]]),
+                             scores=np.array([0.9]), poses=np.zeros((1, 3)))
+    # FP outranks the TP so it depresses the precision envelope if counted
+    det_fp = ImageDetections(boxes=np.array([[5, 5, 60, 60.0]]),
+                             scores=np.array([0.95]), poses=np.zeros((1, 3)))
+    # not annotated -> the FP is ignored
+    m = compute_detection_metrics([gt_obj, None], [det_tp, det_fp], mode="arp")
+    assert m.ap == pytest.approx(1.0)
+    # annotated but empty -> the FP counts
+    empty = ImageGroundTruth(boxes=np.zeros((0, 4)), poses=np.zeros((0, 3)))
+    m2 = compute_detection_metrics([gt_obj, empty], [det_tp, det_fp], mode="arp")
+    assert m2.ap < 1.0
+
+
+def test_ground_truth_eval_filter_and_coarse_fallback():
+    """Eval GT keeps non-difficult objects regardless of truncation and
+    falls back to coarse angles when distance == 0 (computeARP.m:49-67)."""
+    from multi_modal_regression_tpu.detection import ground_truth_per_class
+    from multi_modal_regression_tpu.tools.pascal3d_prep import ObjectAnnotation
+
+    objs = [
+        ObjectAnnotation(cls="car", bbox=np.array([0, 0, 10, 10]),
+                         az=30, el=10, ct=0, distance=4.0, truncated=True),
+        ObjectAnnotation(cls="car", bbox=np.array([0, 0, 10, 10]),
+                         az=0, el=0, ct=0, distance=0.0,
+                         azimuth_coarse=90.0, elevation_coarse=5.0),
+        ObjectAnnotation(cls="car", bbox=np.array([0, 0, 10, 10]),
+                         az=50, el=0, ct=0, distance=4.0, difficult=True),
+    ]
+    gts = ground_truth_per_class([objs, None, []], "car", 0)
+    assert gts[1] is None  # unannotated image
+    assert len(gts[2].boxes) == 0  # annotated, no class objects
+    g = gts[0]
+    assert len(g.boxes) == 2  # truncated kept, difficult dropped
+    np.testing.assert_allclose(g.azimuths, [30.0, 90.0])

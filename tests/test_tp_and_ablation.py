@@ -61,7 +61,7 @@ def test_tp_matches_dp(centers):
 
     t1 = Trainer(cfg, dictionary=dict_, mesh=make_mesh(jax.devices()[:1]))
     s1 = t1.init_state()
-    s1, m1 = t1._train_steps["main"](s1, t1.shard_batch(batch))
+    s1, m1 = t1.train_step_fn("main")(s1, t1.shard_batch(batch))
 
     mesh = make_2d_mesh(4, 2)
     t2 = Trainer(cfg, dictionary=dict_, mesh=mesh)
@@ -74,7 +74,7 @@ def test_tp_matches_dp(centers):
     # backbone replicated
     bk = s2.params["feature_model"]["conv1"]["kernel"]
     assert bk.sharding.is_fully_replicated
-    s2, m2 = t2._train_steps["main"](s2, t2.shard_batch(batch))
+    s2, m2 = t2.train_step_fn("main")(s2, t2.shard_batch(batch))
     for key in m1:
         np.testing.assert_allclose(
             float(m1[key]), float(m2[key]), rtol=2e-4, atol=1e-5

@@ -147,7 +147,7 @@ def test_trainer_loss_decreases_overfit(dataset, centers, tmp_path):
     batch = next(iter(real))
     batch = trainer.shard_batch(batch)
     state = trainer.init_state()
-    step = trainer._train_steps["warmup"]
+    step = trainer.train_step_fn("warmup")
     losses = []
     for _ in range(8):
         state, metrics = step(state, batch)
@@ -172,7 +172,7 @@ def test_one_vs_n_device_equivalence(dataset, centers):
         state = trainer.init_state()
         traj = []
         for _ in range(3):
-            state, metrics = trainer._train_steps["main"](
+            state, metrics = trainer.train_step_fn("main")(
                 state, trainer.shard_batch(batch)
             )
             traj.append({k: float(v) for k, v in metrics.items()})
