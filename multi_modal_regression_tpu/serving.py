@@ -1,0 +1,88 @@
+"""Serving export: ahead-of-time compiled, serialized inference functions.
+
+The reference has no serving story (inference is ad-hoc script loops).
+For production deployment this module packages a trained model's inference
+path — uint8 images in, decoded poses out, preprocessing and dictionary
+decode fused in-graph — as a `jax.export` artifact: a serialized StableHLO
+program with embedded weights that reloads and runs without the Python
+model definition.
+
+  exported = export_inference(trainer, state, batch_size=64)
+  blob = exported.serialize()            # bytes -> ship to the server
+  fn = load_inference(blob)              # on the serving side
+  poses = fn(images_uint8, labels)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from multi_modal_regression_tpu.train.state import TrainState
+from multi_modal_regression_tpu.train.steps import make_eval_step
+from multi_modal_regression_tpu.train.trainer import Trainer
+
+
+def make_inference_fn(trainer: Trainer, state: TrainState) -> Callable:
+    """(images uint8 (B,S,S,3), labels int32 (B,)) -> decoded poses (B, D).
+
+    Weights are closed over (baked into the exported program); the full
+    path (on-device normalize, backbone with running BN stats, head bank,
+    bin argmax + dictionary decode) is one jittable function.
+    """
+    eval_step = make_eval_step(trainer.apply_fn, trainer.problem)
+    frozen = jax.device_get(state)
+
+    def infer(images: jax.Array, labels: jax.Array) -> jax.Array:
+        batch = {
+            "xdata": images,
+            "label": labels,
+            # euler is unused for prediction; a zero batch satisfies the
+            # eval-step signature (targets are only needed for metrics)
+            "euler": jnp.zeros((images.shape[0], 3), jnp.float32),
+        }
+        ypred, _ = eval_step(frozen, batch)
+        return ypred
+
+    return infer
+
+
+def export_inference(
+    trainer: Trainer,
+    state: TrainState,
+    batch_size: int = 64,
+    image_size: int | None = None,
+) -> jax_export.Exported:
+    """AOT-export the inference function for a fixed batch shape."""
+    size = image_size or trainer.config.image_size
+    infer = make_inference_fn(trainer, state)
+    return jax_export.export(jax.jit(infer))(
+        jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((batch_size,), jnp.int32),
+    )
+
+
+def save_inference(path, exported: jax_export.Exported) -> None:
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_inference(path_or_bytes) -> Callable:
+    """Deserialize an exported artifact into a callable (no model code)."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        blob = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            blob = f.read()
+    exported = jax_export.deserialize(blob)
+
+    def fn(images: np.ndarray, labels: np.ndarray):
+        return exported.call(
+            jnp.asarray(images, jnp.uint8), jnp.asarray(labels, jnp.int32)
+        )
+
+    return fn

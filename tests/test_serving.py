@@ -1,0 +1,46 @@
+"""Serving export: AOT serialize/deserialize roundtrip matches live apply."""
+
+import numpy as np
+import pytest
+
+from multi_modal_regression_tpu.dictionary.kmeans import KMeansDictionary
+from multi_modal_regression_tpu.serving import (
+    export_inference,
+    load_inference,
+    make_inference_fn,
+    save_inference,
+)
+from multi_modal_regression_tpu.train import Trainer, get_config
+
+TINY = dict(
+    feature_network="resnet18", feature_layer="layer4",
+    num_classes=3, N0=512, N1=32, N2=16, dict_size=5, image_size=32,
+)
+
+
+@pytest.fixture(scope="module")
+def trainer_state():
+    rng = np.random.default_rng(0)
+    centers = (0.7 * rng.standard_normal((5, 3))).astype(np.float32)
+    cfg = get_config("geodesic_bd", **TINY)
+    trainer = Trainer(cfg, dictionary=KMeansDictionary(cluster_centers=centers))
+    return trainer, trainer.init_state()
+
+
+def test_export_roundtrip_matches_live(trainer_state, tmp_path):
+    trainer, state = trainer_state
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 256, (4, 32, 32, 3), np.uint8)
+    labels = (np.arange(4) % 3).astype(np.int32)
+
+    live = np.asarray(make_inference_fn(trainer, state)(images, labels))
+
+    exported = export_inference(trainer, state, batch_size=4, image_size=32)
+    path = tmp_path / "model.stablehlo"
+    save_inference(path, exported)
+    assert path.stat().st_size > 1000  # weights embedded
+
+    served = load_inference(path)
+    got = np.asarray(served(images, labels))
+    np.testing.assert_allclose(got, live, rtol=1e-5, atol=1e-6)
+    assert got.shape == (4, 3)
