@@ -61,6 +61,8 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
     p.add_argument("--multires", action="store_true", default=None)
     p.add_argument("--compute-dtype", type=str, default=None,
                    choices=("float32", "bfloat16"))
+    p.add_argument("--device-resize-from", type=int, default=None,
+                   help="ship raw images at this size; resize on device")
     p.add_argument("--workdir", type=str, default=None)
     p.add_argument("--resume", action="store_true")
 
@@ -73,7 +75,7 @@ def _config_from_args(args) -> "object":
         "num_classes", "dict_size", "N0", "N1", "N2", "N3", "init_lr",
         "num_epochs", "num_warmup_epochs", "max_iterations",
         "items_per_batch", "image_size", "feature_network", "feature_layer",
-        "multires", "compute_dtype",
+        "multires", "compute_dtype", "device_resize_from",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -126,18 +128,20 @@ def _make_loaders(args, cfg):
     protocol = args.protocol or (
         "flat" if cfg.preset.startswith("objectnet") else "balanced"
     )
+    # with the on-device resize fast path, loaders ship raw-size images
+    load_size = cfg.device_resize_from or cfg.image_size
     root = Path(args.data_root)
     if protocol == "flat":
         # single shuffled flat train loader over <root>/train, test over
         # <root>/test (learnObjectnetBDModel.py:50-51,74-75)
         train = FlatLoader(
             FlatTestIndex(str(root / "train"), classes=classes),
-            batch_size=cfg.items_per_batch * 12, image_size=cfg.image_size,
+            batch_size=cfg.items_per_batch * 12, image_size=load_size,
             num_workers=args.num_workers, seed=cfg.seed,
         )
         test = TestLoader(
             FlatTestIndex(str(root / args.test_subdir), classes=classes),
-            cfg.eval_batch, cfg.image_size, num_workers=args.num_workers,
+            cfg.eval_batch, load_size, num_workers=args.num_workers,
         )
         return train, None, test
     # --train-data selects real/render/both (the ablationGBDAugmentation.py
@@ -149,7 +153,7 @@ def _make_loaders(args, cfg):
             ClassBalancedIndex(
                 str(root / args.real_subdir), "real", classes=classes
             ),
-            cfg.items_per_batch, cfg.image_size,
+            cfg.items_per_batch, load_size,
             num_workers=args.num_workers, seed=cfg.seed,
         )
     if which in ("both", "render"):
@@ -157,14 +161,14 @@ def _make_loaders(args, cfg):
             ClassBalancedIndex(
                 str(root / args.render_subdir), "render", classes=classes
             ),
-            cfg.items_per_batch, cfg.image_size,
+            cfg.items_per_batch, load_size,
             num_workers=args.num_workers, seed=cfg.seed,
         )
     if real is None:  # render-only: it drives the loop
         real, render = render, None
     test = TestLoader(
         FlatTestIndex(str(root / args.test_subdir), classes=classes),
-        cfg.eval_batch, cfg.image_size, num_workers=args.num_workers,
+        cfg.eval_batch, load_size, num_workers=args.num_workers,
     )
     return real, render, test
 

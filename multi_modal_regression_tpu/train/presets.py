@@ -81,6 +81,10 @@ class ExperimentConfig:
     num_epochs: int = 3
     items_per_batch: int = 8  # images/step = items_per_batch * num_classes
     image_size: int = 224
+    # on-device resize fast path: loaders ship raw images at this size and
+    # the compiled step resizes to image_size via MXU matmuls (ops.augment);
+    # None = host (PIL) resize in the loaders
+    device_resize_from: int | None = None
     eval_batch: int = 96
     max_iterations: int | None = None  # cap steps/epoch (debug)
     eval_every: int = 1000

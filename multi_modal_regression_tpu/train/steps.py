@@ -31,6 +31,17 @@ from multi_modal_regression_tpu.train.state import TrainState
 ApplyFn = Callable[..., Any]
 
 
+def _preprocess(batch: dict, resize_to: int | None) -> jax.Array:
+    """uint8 batch -> normalized images; with resize_to set, raw-size
+    images are bilinear-resized ON DEVICE first (ops.augment — the loaders
+    then skip the host PIL resize)."""
+    if resize_to is not None:
+        from multi_modal_regression_tpu.ops.augment import device_preprocess
+
+        return device_preprocess(batch["xdata"], out_size=resize_to)
+    return normalize_images(batch["xdata"])
+
+
 def make_train_step(
     apply_fn: ApplyFn,
     problem: Problem,
@@ -38,6 +49,7 @@ def make_train_step(
     phase: str = "main",
     alpha: float = 1.0,
     axis_name: str | None = None,
+    resize_to: int | None = None,
 ):
     """Build a jit-able train step for (model, problem, optimizer, phase).
 
@@ -54,7 +66,7 @@ def make_train_step(
         raise ValueError(f"phase must be warmup|main, got {phase!r}")
 
     def train_step(state: TrainState, batch: dict):
-        images = normalize_images(batch["xdata"])
+        images = _preprocess(batch, resize_to)
         y = euler_to_pose(batch["euler"], problem.ydata_type)
         tg = dict(problem.targets(y))
         # joint cat+pose objectives also see the class labels and which rows
@@ -108,7 +120,9 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(apply_fn: ApplyFn, problem: Problem):
+def make_eval_step(
+    apply_fn: ApplyFn, problem: Problem, resize_to: int | None = None
+):
     """Build a jit-able eval step: batch -> (ypred, ytrue) on device.
 
     The decode (dictionary lookup + residual add) runs in-graph, replacing
@@ -117,7 +131,7 @@ def make_eval_step(apply_fn: ApplyFn, problem: Problem):
     """
 
     def eval_step(state: TrainState, batch: dict):
-        images = normalize_images(batch["xdata"])
+        images = _preprocess(batch, resize_to)
         if "euler" in batch:
             y = euler_to_pose(batch["euler"], problem.ydata_type)
         else:

@@ -78,18 +78,22 @@ class Trainer:
         self.tx = build_optimizer(config)
         self.apply_fn = make_apply_fn(self.model, config)
 
+        resize_to = config.image_size if config.device_resize_from else None
         self._train_steps = {
             phase: jax.jit(
                 make_train_step(
                     self.apply_fn, self.problem, self.tx,
                     phase=phase,
                     alpha=config.alpha if phase == "main" else config.warmup_alpha,
+                    resize_to=resize_to,
                 ),
                 donate_argnums=(0,),
             )
             for phase in ("warmup", "main")
         }
-        self._eval_step = jax.jit(make_eval_step(self.apply_fn, self.problem))
+        self._eval_step = jax.jit(
+            make_eval_step(self.apply_fn, self.problem, resize_to=resize_to)
+        )
         from multi_modal_regression_tpu.utils.metrics_writer import MetricsWriter
 
         self._writer = (
