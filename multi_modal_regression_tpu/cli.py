@@ -317,13 +317,35 @@ def cmd_predict(args) -> int:
     from multi_modal_regression_tpu.data import FlatTestIndex, TestLoader
 
     test = TestLoader(
-        FlatTestIndex(str(Path(args.data_root) / args.test_subdir)),
-        cfg.eval_batch, cfg.image_size, num_workers=args.num_workers,
+        FlatTestIndex(
+            str(Path(args.data_root) / args.test_subdir),
+            classes=_classes_from_args(args),
+        ),
+        cfg.eval_batch,
+        cfg.device_resize_from or cfg.image_size,
+        num_workers=args.num_workers,
     )
     ytrue, ypred, labels = trainer.predict(state, test)
     out = Path(workdir) / f"results_{args.save_str}.npz"
     np.savez(out, ytest=ytrue, yhat_test=ypred, test_labels=labels)
     med = trainer.evaluate(state, test)
+    if trainer.problem.metric == "pose":
+        from multi_modal_regression_tpu.metrics import per_class_report
+
+        rep = (
+            "quaternion"
+            if trainer.problem.ydata_type == "quaternion" else "axis_angle"
+        )
+        names = _classes_from_args(args)
+        if len(names) != cfg.num_classes:
+            names = tuple(f"class{i}" for i in range(cfg.num_classes))
+        table = per_class_report(ytrue, ypred, labels, names, representation=rep)
+        for name, row in table.items():
+            print(
+                f"  {name:>14s}: MedErr {row['median_err_deg']:7.2f} deg  "
+                f"Acc@30 {row['acc_30deg']:5.1f}%  (n={row['count']})",
+                flush=True,
+            )
     print(f"wrote {out}; MedErr {med:.4f}", flush=True)
     return 0
 
@@ -425,6 +447,7 @@ def main(argv=None) -> int:
     p_pred.add_argument("--data-root", type=str, default=".")
     p_pred.add_argument("--test-subdir", type=str, default="test")
     p_pred.add_argument("--num-workers", type=int, default=8)
+    p_pred.add_argument("--dbinfo", type=str, default=None)
     _add_config_overrides(p_pred)
     p_pred.set_defaults(fn=cmd_predict)
 

@@ -6,6 +6,7 @@ from multi_modal_regression_tpu.metrics.pose_error import (
     pose_error_stats,
     mean_class_median_error,
     mean_class_accuracy,
+    per_class_report,
 )
 from multi_modal_regression_tpu.metrics.detection import (
     voc_ap,
@@ -19,6 +20,7 @@ __all__ = [
     "pose_error_stats",
     "mean_class_median_error",
     "mean_class_accuracy",
+    "per_class_report",
     "voc_ap",
     "box_overlap",
     "compute_detection_metrics",

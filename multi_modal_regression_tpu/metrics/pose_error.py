@@ -136,6 +136,44 @@ def mean_class_median_error(
     return float(np.mean(med))
 
 
+def per_class_report(
+    ygt: np.ndarray,
+    yhat: np.ndarray,
+    labels: np.ndarray,
+    class_names,
+    representation: str = "axis_angle",
+) -> dict:
+    """Per-class median error / Acc@30 table plus the MedErr mean row —
+    the expanded form of the reference's printed diagnostics
+    (axisAngle.get_error2 per-class medians, get_error's Acc@30)."""
+    if representation == "axis_angle":
+        err = geodesic_error_deg(ygt, yhat)
+    elif representation == "quaternion":
+        err = quaternion_error_deg(ygt, yhat)
+    else:
+        raise ValueError(f"unknown representation: {representation!r}")
+    labels = np.squeeze(np.asarray(labels))
+    table = {}
+    meds = []
+    for i, name in enumerate(class_names):
+        e = err[labels == i]
+        if e.size == 0:
+            continue
+        med = float(np.median(e))
+        meds.append(med)
+        table[str(name)] = {
+            "median_err_deg": med,
+            "acc_30deg": float(100.0 * np.mean(e < 30.0)),
+            "count": int(e.size),
+        }
+    table["mean"] = {
+        "median_err_deg": float(np.mean(meds)) if meds else float("nan"),
+        "acc_30deg": float(100.0 * np.mean(err < 30.0)),
+        "count": int(err.size),
+    }
+    return table
+
+
 def mean_class_accuracy(ytrue: np.ndarray, ypred: np.ndarray, num_classes: int) -> float:
     """Mean over classes of per-class classification accuracy."""
     ytrue = np.asarray(ytrue).ravel()

@@ -227,6 +227,7 @@ class Trainer:
         test_loader: TestLoader | None = None,
     ) -> TrainState:
         cfg = self.config
+        best = float("inf")
         for _ in range(cfg.num_warmup_epochs):
             state = self.run_epoch(
                 state, real_loader, render_loader, "warmup", test_loader
@@ -250,6 +251,9 @@ class Trainer:
                     {"step": int(state.step), "epoch": epoch, "med_err": med}
                 )
                 self.val_history.append(med)
+                if med < best:  # keep the best-by-MedErr checkpoint too
+                    best = med
+                    self.save_checkpoint(state, "best")
         if self.workdir and self.val_history:
             # validation-curve history (the reference's plots/<S>.mat,
             # learnGeodesicBDModel.py:257-258)
