@@ -63,6 +63,8 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
                    choices=("float32", "bfloat16"))
     p.add_argument("--device-resize-from", type=int, default=None,
                    help="ship raw images at this size; resize on device")
+    p.add_argument("--train-flip", action="store_true", default=None,
+                   help="random horizontal flips (+pose transform) in-step")
     p.add_argument("--workdir", type=str, default=None)
     p.add_argument("--resume", action="store_true")
 
@@ -75,7 +77,7 @@ def _config_from_args(args) -> "object":
         "num_classes", "dict_size", "N0", "N1", "N2", "N3", "init_lr",
         "num_epochs", "num_warmup_epochs", "max_iterations",
         "items_per_batch", "image_size", "feature_network", "feature_layer",
-        "multires", "compute_dtype", "device_resize_from",
+        "multires", "compute_dtype", "device_resize_from", "train_flip",
     ):
         v = getattr(args, field, None)
         if v is not None:

@@ -85,6 +85,10 @@ class ExperimentConfig:
     # the compiled step resizes to image_size via MXU matmuls (ops.augment);
     # None = host (PIL) resize in the loaders
     device_resize_from: int | None = None
+    # per-sample random horizontal flips (+ the (-az, el, -ct) pose
+    # transform) inside the train step — the train-time form of the
+    # reference's offline flipped copies
+    train_flip: bool = False
     eval_batch: int = 96
     max_iterations: int | None = None  # cap steps/epoch (debug)
     eval_every: int = 1000

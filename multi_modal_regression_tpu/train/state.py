@@ -25,10 +25,11 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     s: jax.Array  # self-balancing log-scale (losses.self_balance)
+    rng: jax.Array  # PRNG key for in-step augmentation (random flips)
 
 
 def create_train_state(
-    variables: dict, tx: optax.GradientTransformation
+    variables: dict, tx: optax.GradientTransformation, seed: int = 0
 ) -> TrainState:
     """Build the initial state from `model.init(...)` variables."""
     params = variables["params"]
@@ -38,4 +39,5 @@ def create_train_state(
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
         s=jnp.zeros((), jnp.float32),
+        rng=jax.random.PRNGKey(seed),
     )

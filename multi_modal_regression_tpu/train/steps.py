@@ -31,14 +31,17 @@ from multi_modal_regression_tpu.train.state import TrainState
 ApplyFn = Callable[..., Any]
 
 
-def _preprocess(batch: dict, resize_to: int | None) -> jax.Array:
+def _preprocess(
+    batch: dict, resize_to: int | None, flip: jax.Array | None = None
+) -> jax.Array:
     """uint8 batch -> normalized images; with resize_to set, raw-size
     images are bilinear-resized ON DEVICE first (ops.augment — the loaders
-    then skip the host PIL resize)."""
-    if resize_to is not None:
+    then skip the host PIL resize); with flip, per-sample horizontal flips
+    are fused in."""
+    if resize_to is not None or flip is not None:
         from multi_modal_regression_tpu.ops.augment import device_preprocess
 
-        return device_preprocess(batch["xdata"], out_size=resize_to)
+        return device_preprocess(batch["xdata"], out_size=resize_to, flip=flip)
     return normalize_images(batch["xdata"])
 
 
@@ -50,6 +53,7 @@ def make_train_step(
     alpha: float = 1.0,
     axis_name: str | None = None,
     resize_to: int | None = None,
+    random_flip: bool = False,
 ):
     """Build a jit-able train step for (model, problem, optimizer, phase).
 
@@ -57,6 +61,11 @@ def make_train_step(
     main_losses/main_balance. When the balance mode is None the loss is the
     fixed combination Lc + alpha * Lr. `axis_name` is unused under jit-SPMD
     (XLA inserts the psum) but kept for shard_map-style use.
+
+    random_flip=True applies per-sample horizontal flips ON DEVICE with the
+    matching (-az, el, -ct) pose transform — the train-time form of the
+    reference's offline flipped copies (setupDataFlipped_pascal3d.m:120-121),
+    without doubling the dataset on disk.
     """
     if phase == "warmup":
         loss_pair, balance = problem.warmup_losses, problem.warmup_balance
@@ -66,8 +75,18 @@ def make_train_step(
         raise ValueError(f"phase must be warmup|main, got {phase!r}")
 
     def train_step(state: TrainState, batch: dict):
-        images = _preprocess(batch, resize_to)
-        y = euler_to_pose(batch["euler"], problem.ydata_type)
+        rng = state.rng
+        euler = batch["euler"]
+        if random_flip:
+            from multi_modal_regression_tpu.ops.augment import flip_pose_euler
+
+            rng, sub = jax.random.split(state.rng)
+            flip = jax.random.bernoulli(sub, 0.5, (euler.shape[0],))
+            euler = flip_pose_euler(euler, flip)
+            images = _preprocess(batch, resize_to, flip=flip)
+        else:
+            images = _preprocess(batch, resize_to)
+        y = euler_to_pose(euler, problem.ydata_type)
         tg = dict(problem.targets(y))
         # joint cat+pose objectives also see the class labels and which rows
         # are real images (the reference computes the category CE on real
@@ -101,6 +120,7 @@ def make_train_step(
             batch_stats=new_stats,
             opt_state=new_opt,
             s=s_next,
+            rng=rng,
         )
         # 'alpha' = the effective Lr weight, logged post-update like the
         # reference (0.5*exp(-2s) in warm-up form, exp(-s) in main form —

@@ -86,6 +86,7 @@ class Trainer:
                     phase=phase,
                     alpha=config.alpha if phase == "main" else config.warmup_alpha,
                     resize_to=resize_to,
+                    random_flip=config.train_flip,
                 ),
                 donate_argnums=(0,),
             )
@@ -119,7 +120,7 @@ class Trainer:
 
         args = (x, label) if _model_takes_label(cfg.model_kind) else (x,)
         variables = self.model.init(jax.random.PRNGKey(seed), *args, train=False)
-        state = create_train_state(variables, self.tx)
+        state = create_train_state(variables, self.tx, seed=seed)
         if "model" in self.mesh.axis_names:
             from multi_modal_regression_tpu.parallel.tp import shard_state
 

@@ -133,3 +133,55 @@ def test_probabilistic_multires_preset_step(rng):
     for phase in ("warmup", "main"):
         state, m = trainer.train_step_fn(phase)(state, batch)
         assert np.isfinite(float(m["loss"])), phase
+
+
+def test_train_flip_augmentation(rng):
+    """train_flip=True: the step runs, the rng key advances, and the flip's
+    pose transform keeps the objective consistent (loss comparable)."""
+    from multi_modal_regression_tpu.dictionary.kmeans import KMeansDictionary
+
+    centers = (0.7 * rng.standard_normal((4, 3))).astype(np.float32)
+    cfg = get_config(
+        "geodesic_bd", feature_network="resnet18", feature_layer="layer4",
+        num_classes=3, N0=512, N1=32, N2=16, dict_size=4, image_size=32,
+        train_flip=True,
+    )
+    trainer = Trainer(cfg, dictionary=KMeansDictionary(cluster_centers=centers))
+    state = trainer.init_state()
+    rng0 = np.asarray(jax.device_get(state.rng))
+    batch = trainer.shard_batch({
+        "xdata": rng.integers(0, 256, (6, 32, 32, 3), np.uint8),
+        "euler": rng.uniform(-90, 90, (6, 3)).astype(np.float32),
+        "label": (np.arange(6) % 3).astype(np.int32),
+    })
+    state, m = trainer.train_step_fn("main")(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    rng1 = np.asarray(jax.device_get(state.rng))
+    assert not np.array_equal(rng0, rng1)  # key advanced
+
+
+def test_flip_pose_matches_flipped_image_pose(rng):
+    """Geometry consistency: rendering the pose-pattern at (az,el,ct),
+    flipping the image, equals rendering at (-az, el, -ct) mirrored content
+    — i.e. the euler transform tracks the pixel flip. We verify through the
+    targets: euler_to_pose(flip(euler)) == pose of the mirrored rotation."""
+    import jax.numpy as jnp
+
+    from multi_modal_regression_tpu.data.targets import euler_to_pose
+    from multi_modal_regression_tpu.geometry.so3 import (
+        exp_so3,
+        rotation_from_euler,
+    )
+    from multi_modal_regression_tpu.ops.augment import flip_pose_euler
+
+    euler = jnp.asarray(rng.uniform(-60, 60, (8, 3)), jnp.float32)
+    flip = jnp.ones(8, bool)
+    y_f = euler_to_pose(flip_pose_euler(euler, flip))
+    # mirrored rotation: M R M with M = diag(-1, 1, 1) equals
+    # R(-az, el, -ct) for the ZXZ convention
+    M = jnp.diag(jnp.asarray([-1.0, 1.0, 1.0]))
+    R = rotation_from_euler(euler[:, 0], euler[:, 1], euler[:, 2])
+    R_mirror = M @ R @ M
+    np.testing.assert_allclose(
+        np.asarray(exp_so3(y_f)), np.asarray(R_mirror), atol=1e-5
+    )
