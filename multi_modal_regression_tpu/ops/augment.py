@@ -27,8 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multi_modal_regression_tpu.data.loader import IMAGENET_MEAN, IMAGENET_STD
-
 
 @functools.lru_cache(maxsize=32)
 def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
@@ -83,12 +81,16 @@ def device_preprocess(
     flip: jax.Array | None = None,
     dtype=jnp.float32,
 ) -> jax.Array:
-    """resize (optional) -> flip (optional) -> normalize, all on device."""
-    x = x_uint8.astype(jnp.float32)
+    """resize (optional) -> flip (optional) -> normalize, all on device.
+
+    Normalization reuses data.loader.normalize_images (one formula to
+    maintain); it accepts the float 0..255 values the resize produces.
+    """
+    from multi_modal_regression_tpu.data.loader import normalize_images
+
+    x = x_uint8
     if out_size is not None and x.shape[1:3] != (out_size, out_size):
-        x = resize_images(x, out_size, out_size)
+        x = resize_images(x.astype(jnp.float32), out_size, out_size)
     if flip is not None:
         x = flip_images(x, flip)
-    mean = jnp.asarray(IMAGENET_MEAN * 255.0, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD * 255.0, jnp.float32)
-    return ((x - mean) / std).astype(dtype)
+    return normalize_images(x, dtype=dtype)

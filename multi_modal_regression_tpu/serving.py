@@ -27,15 +27,24 @@ from multi_modal_regression_tpu.train.steps import make_eval_step
 from multi_modal_regression_tpu.train.trainer import Trainer
 
 
-def make_inference_fn(trainer: Trainer, state: TrainState) -> Callable:
+def make_inference_fn(
+    trainer: Trainer, state: TrainState, resize_to: int | None = None
+) -> Callable:
     """(images uint8 (B,S,S,3), labels int32 (B,)) -> decoded poses (B, D).
 
     Weights are closed over (baked into the exported program); the full
-    path (on-device normalize, backbone with running BN stats, head bank,
-    bin argmax + dictionary decode) is one jittable function.
+    path (on-device resize when the inputs are raw-size, normalize,
+    backbone with running BN stats, head bank, bin argmax + dictionary
+    decode) is one jittable function. Only params + batch_stats are held —
+    not the optimizer moments.
     """
-    eval_step = make_eval_step(trainer.apply_fn, trainer.problem)
-    frozen = jax.device_get(state)
+    import types
+
+    eval_step = make_eval_step(trainer.apply_fn, trainer.problem, resize_to)
+    frozen = types.SimpleNamespace(
+        params=jax.device_get(state.params),
+        batch_stats=jax.device_get(state.batch_stats),
+    )
 
     def infer(images: jax.Array, labels: jax.Array) -> jax.Array:
         batch = {
@@ -57,9 +66,17 @@ def export_inference(
     batch_size: int = 64,
     image_size: int | None = None,
 ) -> jax_export.Exported:
-    """AOT-export the inference function for a fixed batch shape."""
+    """AOT-export the inference function for a fixed batch shape.
+
+    With image_size different from the model's training resolution, the
+    on-device bilinear resize is fused into the exported graph, so raw-size
+    inputs serve directly.
+    """
     size = image_size or trainer.config.image_size
-    infer = make_inference_fn(trainer, state)
+    resize_to = (
+        trainer.config.image_size if size != trainer.config.image_size else None
+    )
+    infer = make_inference_fn(trainer, state, resize_to=resize_to)
     return jax_export.export(jax.jit(infer))(
         jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8),
         jax.ShapeDtypeStruct((batch_size,), jnp.int32),

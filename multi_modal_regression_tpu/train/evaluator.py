@@ -113,6 +113,9 @@ class SnapshotEnsembleEvaluator:
             make_train_step(
                 self.trainer.apply_fn, self.trainer.problem, tx,
                 phase="main", alpha=cfg.alpha,
+                # same input contract as training (device resize / flips)
+                resize_to=cfg.image_size if cfg.device_resize_from else None,
+                random_flip=cfg.train_flip,
             ),
             donate_argnums=(0,),
         )

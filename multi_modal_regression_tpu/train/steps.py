@@ -31,17 +31,16 @@ from multi_modal_regression_tpu.train.state import TrainState
 ApplyFn = Callable[..., Any]
 
 
-def _preprocess(
-    batch: dict, resize_to: int | None, flip: jax.Array | None = None
-) -> jax.Array:
+def _preprocess(batch: dict, resize_to: int | None) -> jax.Array:
     """uint8 batch -> normalized images; with resize_to set, raw-size
     images are bilinear-resized ON DEVICE first (ops.augment — the loaders
-    then skip the host PIL resize); with flip, per-sample horizontal flips
-    are fused in."""
-    if resize_to is not None or flip is not None:
+    then skip the host PIL resize). Flips are applied by the caller AFTER
+    normalization (they commute with per-channel scaling), keeping the
+    Pallas fused-normalize fast path in use."""
+    if resize_to is not None:
         from multi_modal_regression_tpu.ops.augment import device_preprocess
 
-        return device_preprocess(batch["xdata"], out_size=resize_to, flip=flip)
+        return device_preprocess(batch["xdata"], out_size=resize_to)
     return normalize_images(batch["xdata"])
 
 
@@ -77,15 +76,19 @@ def make_train_step(
     def train_step(state: TrainState, batch: dict):
         rng = state.rng
         euler = batch["euler"]
+        images = _preprocess(batch, resize_to)
         if random_flip:
-            from multi_modal_regression_tpu.ops.augment import flip_pose_euler
+            from multi_modal_regression_tpu.ops.augment import (
+                flip_images,
+                flip_pose_euler,
+            )
 
             rng, sub = jax.random.split(state.rng)
             flip = jax.random.bernoulli(sub, 0.5, (euler.shape[0],))
             euler = flip_pose_euler(euler, flip)
-            images = _preprocess(batch, resize_to, flip=flip)
-        else:
-            images = _preprocess(batch, resize_to)
+            # flip after normalize: commutes, and keeps the Pallas
+            # fused-normalize path in use
+            images = flip_images(images, flip)
         y = euler_to_pose(euler, problem.ydata_type)
         tg = dict(problem.targets(y))
         # joint cat+pose objectives also see the class labels and which rows
@@ -131,8 +134,9 @@ def make_train_step(
             alpha_logged = 0.5 * jnp.exp(-2.0 * s_next)
         else:
             alpha_logged = jnp.exp(-s_next)
+        # s is logged post-update so the (s, alpha) pair is consistent
         metrics = {
-            "loss": loss, "lc": lc, "lr": lr, "s": state.s,
+            "loss": loss, "lc": lc, "lr": lr, "s": s_next,
             "alpha": alpha_logged,
         }
         return new_state, metrics

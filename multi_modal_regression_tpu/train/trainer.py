@@ -151,12 +151,22 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         path = (self.workdir / "checkpoints" / name).absolute()
+        template = jax.device_get(self.init_state())
         abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
-            jax.device_get(self.init_state()),
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), template
         )
         with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(path, abstract)
+            try:
+                restored = ckptr.restore(path, abstract)
+            except BaseException:
+                # migration: checkpoints written before TrainState carried an
+                # augmentation rng key lack that leaf — restore the rest and
+                # fill a fresh key
+                fields = ("step", "params", "batch_stats", "opt_state", "s")
+                partial = ckptr.restore(
+                    path, {f: getattr(abstract, f) for f in fields}
+                )
+                restored = template.replace(**partial)
         return jax.device_put(restored, replicated_sharding(self.mesh))
 
     # -- logging ----------------------------------------------------------
@@ -228,7 +238,9 @@ class Trainer:
         test_loader: TestLoader | None = None,
     ) -> TrainState:
         cfg = self.config
-        best = float("inf")
+        # MedErr is lower-better; category accuracy is higher-better
+        maximize = self.problem.metric == "category_accuracy"
+        best = -float("inf") if maximize else float("inf")
         for _ in range(cfg.num_warmup_epochs):
             state = self.run_epoch(
                 state, real_loader, render_loader, "warmup", test_loader
@@ -252,7 +264,8 @@ class Trainer:
                     {"step": int(state.step), "epoch": epoch, "med_err": med}
                 )
                 self.val_history.append(med)
-                if med < best:  # keep the best-by-MedErr checkpoint too
+                improved = med > best if maximize else med < best
+                if improved:  # keep the best-by-headline-metric checkpoint
                     best = med
                     self.save_checkpoint(state, "best")
         if self.workdir and self.val_history:

@@ -44,3 +44,15 @@ def test_export_roundtrip_matches_live(trainer_state, tmp_path):
     got = np.asarray(served(images, labels))
     np.testing.assert_allclose(got, live, rtol=1e-5, atol=1e-6)
     assert got.shape == (4, 3)
+
+
+def test_export_with_raw_size_inputs(trainer_state, tmp_path):
+    """Exporting with a larger input size fuses the device resize into the
+    artifact, so raw-size images serve directly."""
+    trainer, state = trainer_state
+    rng = np.random.default_rng(2)
+    exported = export_inference(trainer, state, batch_size=2, image_size=48)
+    raw = rng.integers(0, 256, (2, 48, 48, 3), np.uint8)
+    labels = np.array([0, 1], np.int32)
+    out = np.asarray(exported.call(raw, labels))
+    assert out.shape == (2, 3) and np.all(np.isfinite(out))

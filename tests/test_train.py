@@ -180,3 +180,30 @@ def test_one_vs_n_device_equivalence(dataset, centers):
     for s1, s8 in zip(trajectories[1], trajectories[8]):
         for k in s1:
             np.testing.assert_allclose(s1[k], s8[k], rtol=5e-4, atol=1e-5)
+
+
+def test_restore_checkpoint_without_rng_field(dataset, centers, tmp_path):
+    """Checkpoints saved before TrainState carried the augmentation rng
+    still restore (migration: missing leaf -> fresh key)."""
+    import orbax.checkpoint as ocp
+
+    cfg = get_config("geodesic_bd", **TINY)
+    trainer = Trainer(
+        cfg, dictionary=KMeansDictionary(cluster_centers=centers),
+        workdir=tmp_path / "run",
+    )
+    state = trainer.init_state()
+    # simulate a pre-rng checkpoint: save the state as a dict missing 'rng'
+    old = {
+        f: jax.device_get(getattr(state, f))
+        for f in ("step", "params", "batch_stats", "opt_state", "s")
+    }
+    path = (tmp_path / "run" / "checkpoints" / "old").absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, old, force=True)
+    restored = trainer.restore_checkpoint("old")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(restored.params), old["params"],
+    )
+    assert restored.rng is not None
