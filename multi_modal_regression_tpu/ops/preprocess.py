@@ -73,16 +73,43 @@ def _pallas_normalize(x_u8: jax.Array, dtype=jnp.float32, row_tile: int = 256):
     return out.reshape(b, h, w, c)
 
 
+_PALLAS_OK: bool | None = None
+
+
+def _probe_pallas() -> bool:
+    """Capability probe: actually run a tiny Pallas TPU kernel once on the
+    default backend and cache whether it works. Keyed on behavior, not the
+    platform NAME — experimental backends (e.g. the 'axon' TPU tunnel)
+    register under nonstandard names while still supporting Mosaic.
+    (Verified on the axon v5e tunnel: kernel executes, matches the XLA
+    fallback to 7e-7 — BASELINE.md round 2.)"""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        try:
+            x = jnp.zeros((2, 8, 8, 3), jnp.uint8)
+            _PALLAS_OK = bool(
+                jnp.isfinite(_pallas_normalize(x, dtype=jnp.float32)).all()
+            )
+        except Exception:
+            _PALLAS_OK = False
+    return _PALLAS_OK
+
+
 def normalize_images_pallas(
     x_u8: jax.Array, dtype=jnp.float32, use_pallas: bool | None = None
 ) -> jax.Array:
     """(B, H, W, 3) uint8 -> normalized (B, H, W, 3) in `dtype`.
 
-    use_pallas=None auto-selects: the kernel on TPU backends, the XLA
-    elementwise fallback elsewhere (also the numerical reference).
+    use_pallas=None auto-selects: the kernel wherever a probe kernel
+    actually runs (TPU backends incl. tunneled ones), the XLA elementwise
+    fallback elsewhere (also the numerical reference).
     """
     if use_pallas is None:
-        use_pallas = x_u8.ndim == 4 and jax.default_backend() == "tpu"
+        use_pallas = (
+            x_u8.ndim == 4
+            and jax.default_backend() == "tpu"
+            and _probe_pallas()
+        )
     if not use_pallas:
         from multi_modal_regression_tpu.data.loader import normalize_images
 

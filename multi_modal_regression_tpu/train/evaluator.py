@@ -129,14 +129,20 @@ class SnapshotEnsembleEvaluator:
             s=jnp.zeros((), jnp.float32),
         )
         epochs = cfg.eval_num_epochs if num_epochs is None else num_epochs
+        # plain per-run step budget: max_iterations caps the WHOLE
+        # fine-tune (not per-epoch) — once spent the run ends, rather than
+        # re-entering each later epoch for one batch
+        budget = cfg.max_iterations * epochs if cfg.max_iterations else None
         local_step = 0
         for _ in range(epochs):
+            if budget is not None and local_step >= budget:
+                break
             for batch in _interleave(real_loader, render_loader):
                 state, _ = step_fn(state, self.trainer.shard_batch(batch))
                 if is_snapshot_step(local_step, c):
                     self._take_snapshot(state, test_loader)
                 local_step += 1
-                if cfg.max_iterations and local_step >= cfg.max_iterations * epochs:
+                if budget is not None and local_step >= budget:
                     break
         if not self.snapshots:  # always keep at least the final state
             self._take_snapshot(state, test_loader)

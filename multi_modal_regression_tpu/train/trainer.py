@@ -167,6 +167,13 @@ class Trainer:
                     path, {f: getattr(abstract, f) for f in fields}
                 )
                 restored = template.replace(**partial)
+        if "model" in self.mesh.axis_names:
+            # restore WITH the tensor-parallel layout init_state uses —
+            # device_put with replicated sharding here would silently
+            # un-shard the head banks on a ('data', 'model') mesh
+            from multi_modal_regression_tpu.parallel.tp import shard_state
+
+            return shard_state(restored, self.mesh)
         return jax.device_put(restored, replicated_sharding(self.mesh))
 
     # -- logging ----------------------------------------------------------
@@ -199,8 +206,11 @@ class Trainer:
             state, metrics = step_fn(state, batch)
             n_steps += 1
             images_done += int(batch["label"].shape[0])
-            step = int(state.step)
             if n_steps % log_every == 0 or n_steps == 1:
+                # the D2H fetches live only under the logging branches:
+                # through the TPU tunnel a host scalar fetch is a true sync,
+                # so doing one per step would serialize the loop (CLAUDE.md)
+                step = int(state.step)
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0
                 rec = {
@@ -223,6 +233,7 @@ class Trainer:
                 and n_steps % cfg.eval_every == 0
             ):
                 med = self.evaluate(state, test_loader)
+                step = int(state.step)
                 print(f"[{phase}] step {step} MedErr {med:.3f} deg", flush=True)
                 self._log({"step": step, "med_err": med, "val_loss": med})
                 self.val_history.append(med)

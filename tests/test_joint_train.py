@@ -179,6 +179,20 @@ def test_ensemble_poses_identity():
     np.testing.assert_allclose(dot, 1.0, atol=1e-6)
 
 
+def test_evaluator_budget_caps_whole_run(dataset, centers):
+    """max_iterations * epochs is ONE per-run budget: the fine-tune stops
+    for good once spent (round-1 bug: each later epoch re-entered and ran
+    one extra batch)."""
+    cfg = get_config("geodesic_bd", **{**TINY, "max_iterations": 2})
+    trainer = Trainer(cfg, dictionary=KMeansDictionary(cluster_centers=centers))
+    real, render, test = _loaders(dataset, cfg)
+    # 6 imgs/class at 2 items/batch -> 3 batches/epoch; 3 epochs uncapped
+    # would be 9 steps, the budget is 2 * 3 = 6
+    ev = SnapshotEnsembleEvaluator(trainer, cycle_len=100)
+    state = ev.run(trainer.init_state(), real, render, test, num_epochs=3)
+    assert int(state.step) == 6
+
+
 def test_snapshot_ensemble_evaluator(dataset, centers, tmp_path):
     cfg = get_config("geodesic_bd", **{**TINY, "eval_num_epochs": 1})
     trainer = Trainer(cfg, dictionary=KMeansDictionary(cluster_centers=centers))

@@ -81,6 +81,31 @@ def test_tp_matches_dp(centers):
         )
 
 
+def test_restore_checkpoint_onto_tp_mesh(tmp_path, centers):
+    """Restoring on a ('data','model') mesh re-applies the head-bank
+    sharding (round-1 bug: restore device_put the state replicated)."""
+    rng = np.random.default_rng(7)
+    cfg = get_config("geodesic_bd", **TINY)
+    dict_ = KMeansDictionary(cluster_centers=centers)
+    mesh = make_2d_mesh(4, 2)
+    trainer = Trainer(cfg, dictionary=dict_, workdir=tmp_path, mesh=mesh)
+    state = trainer.init_state()
+    state, _ = trainer.train_step_fn("main")(state, trainer.shard_batch(_batch(rng)))
+    trainer.save_checkpoint(state)
+
+    restored = trainer.restore_checkpoint()
+    assert int(restored.step) == 1
+    k = restored.params["bin_models"]["fc1_kernel"]
+    assert "model" in str(k.sharding.spec)
+    assert k.sharding.shard_shape(k.shape)[0] == k.shape[0] // 2
+    # the restored (tp-sharded) state trains on: donation requires the
+    # layouts to match what the compiled step expects
+    restored, m = trainer.train_step_fn("main")(
+        restored, trainer.shard_batch(_batch(rng))
+    )
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_shard_batch_2d_replicates_over_model():
     rng = np.random.default_rng(1)
     mesh = make_2d_mesh(4, 2)
