@@ -39,6 +39,19 @@ def _add_common_data_args(p: argparse.ArgumentParser) -> None:
                         "'flat' = single shuffled flat train loader "
                         "(ObjectNet protocol). Default: flat for "
                         "objectnet_* presets, balanced otherwise")
+    p.add_argument("--test-protocol", choices=("filenames", "mat"),
+                   default="filenames",
+                   help="'filenames' = PNG test tree with pose-encoded "
+                        "names (TestImages); 'mat' = precomputed per-image "
+                        ".mat crop sets (the Pascal3dAll protocol: "
+                        "ablationGeodesicBDModel.py:72-74, "
+                        "learnClassificationModel.py:146-149)")
+    p.add_argument("--mat-root", type=str, default=None,
+                   help="root of the .mat crop trees for --test-protocol "
+                        "mat (default <data-root>/original)")
+    p.add_argument("--mat-split", choices=("val", "test"), default="test",
+                   help="'val' = pascal_train crops (ablation model "
+                        "selection), 'test' = pascal_val")
 
 
 def _add_config_overrides(p: argparse.ArgumentParser) -> None:
@@ -117,13 +130,29 @@ def _classes_from_args(args):
     return PASCAL3D_CLASSES
 
 
+def _make_test_loader(args, cfg, classes, load_size):
+    from multi_modal_regression_tpu.data import FlatTestIndex, MatCropIndex, TestLoader
+    from multi_modal_regression_tpu.data.loader import MatCropLoader
+
+    root = Path(args.data_root)
+    if getattr(args, "test_protocol", "filenames") == "mat":
+        mat_root = args.mat_root or str(root / "original")
+        return MatCropLoader(
+            MatCropIndex(mat_root, args.mat_split, classes=classes),
+            batch_size=cfg.eval_batch, num_workers=args.num_workers,
+        )
+    return TestLoader(
+        FlatTestIndex(str(root / args.test_subdir), classes=classes),
+        cfg.eval_batch, load_size, num_workers=args.num_workers,
+    )
+
+
 def _make_loaders(args, cfg):
     from multi_modal_regression_tpu.data import (
         BalancedLoader,
         ClassBalancedIndex,
         FlatLoader,
         FlatTestIndex,
-        TestLoader,
     )
 
     classes = _classes_from_args(args)
@@ -141,11 +170,7 @@ def _make_loaders(args, cfg):
             batch_size=cfg.items_per_batch * 12, image_size=load_size,
             num_workers=args.num_workers, seed=cfg.seed,
         )
-        test = TestLoader(
-            FlatTestIndex(str(root / args.test_subdir), classes=classes),
-            cfg.eval_batch, load_size, num_workers=args.num_workers,
-        )
-        return train, None, test
+        return train, None, _make_test_loader(args, cfg, classes, load_size)
     # --train-data selects real/render/both (the ablationGBDAugmentation.py
     # --type protocol; 'both' is the standard two-loader training)
     which = getattr(args, "train_data", "both")
@@ -168,11 +193,7 @@ def _make_loaders(args, cfg):
         )
     if real is None:  # render-only: it drives the loop
         real, render = render, None
-    test = TestLoader(
-        FlatTestIndex(str(root / args.test_subdir), classes=classes),
-        cfg.eval_batch, load_size, num_workers=args.num_workers,
-    )
-    return real, render, test
+    return real, render, _make_test_loader(args, cfg, classes, load_size)
 
 
 def cmd_train(args) -> int:
@@ -390,6 +411,35 @@ def cmd_dictionary(args) -> int:
 
 
 def cmd_prepare_data(args) -> int:
+    if args.dataset == "pascal3d":
+        from multi_modal_regression_tpu.tools.ingest import prepare_pascal3d
+
+        if not args.db_path:
+            raise SystemExit("--db-path is required for --dataset pascal3d")
+        voc = args.voc_dir or str(
+            Path(args.db_path) / "PASCAL" / "VOCdevkit" / "VOC2012"
+        )
+        classes = (
+            tuple(args.classes.split(","))
+            if args.classes else _classes_from_args(args)
+        )
+        prepare_pascal3d(
+            args.db_path, voc, args.out,
+            classes=classes,
+            kinds=tuple(args.kinds.split(",")),
+            workers=args.workers,
+        )
+        print(f"wrote {args.out}", flush=True)
+        return 0
+    if args.dataset == "objectnet3d":
+        from multi_modal_regression_tpu.tools.ingest import prepare_objectnet3d
+
+        if not args.db_path:
+            raise SystemExit("--db-path is required for --dataset objectnet3d")
+        prepare_objectnet3d(args.db_path, args.out, workers=args.workers)
+        print(f"wrote {args.out}", flush=True)
+        return 0
+
     from multi_modal_regression_tpu.tools.synthetic import generate_pose_dataset
 
     for i, sub in enumerate((args.real_subdir, args.render_subdir, args.test_subdir)):
@@ -402,6 +452,85 @@ def cmd_prepare_data(args) -> int:
             pattern=args.pattern,
         )
         print(f"wrote {root}", flush=True)
+    return 0
+
+
+def cmd_prepare_detections(args) -> int:
+    """Parse third-party detector outputs and crop them into the
+    `dbinfo.mat + all/<img>.mat` layout `predict --det-path` consumes
+    (the setupDataDetection_{vk,r4cnn,maskrcnn}.m pipelines)."""
+    from multi_modal_regression_tpu.tools.ingest import (
+        parse_maskrcnn_results,
+        parse_r4cnn_detections,
+        parse_vk_detections,
+        prepare_detection_set,
+        read_image_set,
+    )
+
+    classes = _classes_from_args(args)
+    image_names = read_image_set(args.image_set)
+    if args.detector == "vk":
+        dets = parse_vk_detections(args.det_source, num_images=len(image_names))
+    elif args.detector == "r4cnn":
+        dets = parse_r4cnn_detections(
+            args.det_source, classes=classes, num_images=len(image_names)
+        )
+    else:
+        det_classes = classes
+        if args.detector_classes:
+            det_classes = tuple(args.detector_classes.split(","))
+        dets = parse_maskrcnn_results(
+            args.det_source, image_names, classes=det_classes
+        )
+    prepare_detection_set(
+        args.images_dir, image_names, dets, args.out,
+        size=args.image_size, workers=args.workers,
+    )
+    n = sum(len(b) for b, _ in dets)
+    print(f"wrote {args.out} ({n} detections over {len(image_names)} images)",
+          flush=True)
+    return 0
+
+
+def cmd_evaluate_detections(args) -> int:
+    """AVP/ARP in one command (the computeAVP.m / computeARP.m stage):
+    results .mat (from `predict --det-path`) + PASCAL3D+ Annotations tree
+    -> per-class AP / AVP / ARP / MedErr table."""
+    from multi_modal_regression_tpu.detection import (
+        DetectionSetIndex,
+        build_voc_ground_truth,
+        evaluate_detection_results,
+        load_results_mat,
+    )
+
+    classes = _classes_from_args(args)
+    index = DetectionSetIndex(args.det_path)
+    bboxes, ypred, labels, scores = load_results_mat(args.results)
+    if len(bboxes) != len(index):
+        raise SystemExit(
+            f"results file has {len(bboxes)} images, detection set has "
+            f"{len(index)}"
+        )
+    annos = build_voc_ground_truth(args.annotations, index.image_names, classes)
+    table = evaluate_detection_results(
+        annos, bboxes, ypred, labels, classes, scores=scores,
+        nbins=args.nbins,
+    )
+    header = f"{'class':>14s}  {'AP':>7s} {'AVP':>7s} {'ARP':>7s} " \
+             f"{'MedErr':>8s} {'MedAzErr':>9s}"
+    print(header, flush=True)
+    for cls, row in table.items():
+        print(
+            f"{cls:>14s}  {row['ap']:7.4f} {row['avp']:7.4f} "
+            f"{row['arp']:7.4f} {row['med_err_deg']:8.3f} "
+            f"{row['med_az_err_deg']:9.3f}",
+            flush=True,
+        )
+    if args.out:
+        import json
+
+        Path(args.out).write_text(json.dumps(table, indent=2))
+        print(f"wrote {args.out}", flush=True)
     return 0
 
 
@@ -462,7 +591,28 @@ def main(argv=None) -> int:
     p_dict.add_argument("--seed", type=int, default=0)
     p_dict.set_defaults(fn=cmd_dictionary)
 
-    p_prep = sub.add_parser("prepare-data", help="generate synthetic data")
+    p_prep = sub.add_parser(
+        "prepare-data",
+        help="prepare a dataset: synthetic (default), or walk a real "
+             "PASCAL3D+/ObjectNet3D release (setupData*.m)",
+    )
+    p_prep.add_argument("--dataset",
+                        choices=("synthetic", "pascal3d", "objectnet3d"),
+                        default="synthetic")
+    p_prep.add_argument("--db-path", type=str, default=None,
+                        help="release root (PASCAL3D+_release1.1 / "
+                             "ObjectNet3D) for non-synthetic datasets")
+    p_prep.add_argument("--voc-dir", type=str, default=None,
+                        help="VOC2012 devkit dir (default "
+                             "<db-path>/PASCAL/VOCdevkit/VOC2012)")
+    p_prep.add_argument("--kinds", type=str,
+                        default="flipped,original,augmented",
+                        help="comma list of pascal3d output trees")
+    p_prep.add_argument("--workers", type=int, default=8)
+    p_prep.add_argument("--classes", type=str, default=None,
+                        help="comma list of classes to ingest (default: "
+                             "the 12 PASCAL3D+ classes / --dbinfo)")
+    p_prep.add_argument("--dbinfo", type=str, default=None)
     p_prep.add_argument("--out", type=str, required=True)
     p_prep.add_argument("--real-subdir", type=str, default="augmented2")
     p_prep.add_argument("--render-subdir", type=str, default="renderforcnn")
@@ -473,6 +623,50 @@ def main(argv=None) -> int:
     p_prep.add_argument("--pattern", choices=("noise", "pose"), default="noise",
                         help="'pose' renders learnable viewpoint-dependent content")
     p_prep.set_defaults(fn=cmd_prepare_data)
+
+    p_pdet = sub.add_parser(
+        "prepare-detections",
+        help="crop third-party detector outputs into a detection set "
+             "(setupDataDetection_{vk,r4cnn,maskrcnn}.m)",
+    )
+    p_pdet.add_argument("--detector", choices=("vk", "r4cnn", "maskrcnn"),
+                        required=True)
+    p_pdet.add_argument("--det-source", type=str, required=True,
+                        help="vk: VOC2012_val_det.mat; r4cnn: dir of "
+                             "per-class .mat files; maskrcnn: dir of "
+                             "results_<cls>.txt files")
+    p_pdet.add_argument("--images-dir", type=str, required=True,
+                        help="VOC JPEGImages dir")
+    p_pdet.add_argument("--image-set", type=str, required=True,
+                        help="val.txt listing the test images")
+    p_pdet.add_argument("--out", type=str, required=True)
+    p_pdet.add_argument("--image-size", type=int, default=224)
+    p_pdet.add_argument("--workers", type=int, default=8)
+    p_pdet.add_argument("--dbinfo", type=str, default=None)
+    p_pdet.add_argument("--detector-classes", type=str, default=None,
+                        help="comma list of the detector's own class "
+                             "spellings (maskrcnn uses 'motorcycle')")
+    p_pdet.set_defaults(fn=cmd_prepare_detections)
+
+    p_edet = sub.add_parser(
+        "evaluate-detections",
+        help="AP/AVP/ARP table from a results .mat + annotations "
+             "(computeAVP.m / computeARP.m)",
+    )
+    p_edet.add_argument("--results", type=str, required=True,
+                        help="results .mat from `predict --det-path`")
+    p_edet.add_argument("--det-path", type=str, required=True,
+                        help="detection set dir (its dbinfo.mat lists the "
+                             "image order of the results file)")
+    p_edet.add_argument("--annotations", type=str, required=True,
+                        help="PASCAL3D+ Annotations root "
+                             "(<cls>_pascal/<image>.mat trees)")
+    p_edet.add_argument("--nbins", type=int, default=4,
+                        help="azimuth bins for AVP")
+    p_edet.add_argument("--out", type=str, default=None,
+                        help="optional JSON output path")
+    p_edet.add_argument("--dbinfo", type=str, default=None)
+    p_edet.set_defaults(fn=cmd_evaluate_detections)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -168,6 +168,61 @@ def save_results_mat(
     spio.savemat(str(path), {"bbox": bb, "ypred": yp, "labels": lb})
 
 
+def load_results_mat(
+    path: str | Path,
+) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
+    """Read a results file written by save_results_mat back into per-image
+    (bboxes_raw, ypred, labels, scores) lists (scores from the boxes' 5th
+    column when present, else 1.0). Labels are the 0-based ids
+    run_detection_inference emits."""
+    import scipy.io as spio
+
+    tmp = spio.loadmat(str(path), squeeze_me=False)
+    bb = np.asarray(tmp["bbox"], object).ravel()
+    yp = np.asarray(tmp["ypred"], object).ravel()
+    lb = np.asarray(tmp["labels"], object).ravel()
+    bboxes, ypred, labels, scores = [], [], [], []
+    for i in range(len(bb)):
+        raw = np.asarray(bb[i], np.float64)
+        if raw.size == 0:
+            bboxes.append(np.zeros((0, 4)))
+            ypred.append(np.zeros((0, 3)))
+            labels.append(np.zeros(0, np.int64))
+            scores.append(np.zeros(0))
+            continue
+        raw = raw.reshape(len(raw), -1)
+        bboxes.append(raw)
+        ypred.append(np.asarray(yp[i], np.float64).reshape(len(raw), -1))
+        labels.append(np.asarray(lb[i], np.int64).ravel())
+        scores.append(
+            raw[:, 4] if raw.shape[1] >= 5 else np.ones(len(raw))
+        )
+    return bboxes, ypred, labels, scores
+
+
+def build_voc_ground_truth(
+    anno_root: str | Path,
+    image_names: Sequence[str],
+    classes: Sequence[str],
+) -> dict[str, list]:
+    """Per-class per-image annotation lists from a PASCAL3D+ Annotations
+    tree (computeAVP.m:40-43: class `cls` reads
+    `<anno_root>/<cls>_pascal/<image>.mat`; a missing file means the image
+    is unannotated FOR THAT CLASS and its detections are skipped). Returns
+    {class: annotations_by_image} for evaluate_detection_results."""
+    from multi_modal_regression_tpu.tools.ingest import (
+        load_annotations_for_images,
+    )
+
+    anno_root = Path(anno_root)
+    return {
+        cls: load_annotations_for_images(
+            anno_root / f"{cls}_pascal", image_names
+        )
+        for cls in classes
+    }
+
+
 def ground_truth_per_class(annotations_by_image, class_name: str, class_id: int):
     """Per-image ImageGroundTruth for one class from ObjectAnnotation lists
     (the VOC record loading of computeAVP.m:40-63 / computeARP.m:40-69).
@@ -250,14 +305,24 @@ def evaluate_detection_results(
 ):
     """Full AVP/ARP evaluation over all classes (the computeAVP.m /
     computeARP.m driver): returns {class: {'ap', 'avp', 'arp', 'med_err_deg',
-    'med_az_err_deg'}} plus a 'mean' row."""
+    'med_az_err_deg'}} plus a 'mean' row.
+
+    annotations_by_image is either one per-image list shared by all classes
+    or a {class: per-image list} dict (the PASCAL3D+ layout keeps separate
+    `<cls>_pascal` annotation trees whose None/missing semantics are
+    per-class — build_voc_ground_truth)."""
     from multi_modal_regression_tpu.metrics.detection import (
         compute_detection_metrics,
     )
 
     table = {}
     for ci, cls in enumerate(classes):
-        gts = ground_truth_per_class(annotations_by_image, cls, ci)
+        annos = (
+            annotations_by_image[cls]
+            if isinstance(annotations_by_image, dict)
+            else annotations_by_image
+        )
+        gts = ground_truth_per_class(annos, cls, ci)
         dets = detections_per_class(bboxes, ypred, labels, scores, ci)
         if all(g is None for g in gts):
             continue

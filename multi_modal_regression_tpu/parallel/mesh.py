@@ -47,9 +47,19 @@ def shard_batch(batch: Mapping[str, Any], mesh: Mesh, axis_name: str = "data"):
     n = mesh.shape[axis_name]
     sharded = batch_sharding(mesh, axis_name)
     replicated = replicated_sharding(mesh)
-    return {
-        k: jax.device_put(
-            v, sharded if np.shape(v)[0] % n == 0 else replicated
-        )
+
+    def spec(v):
+        return sharded if np.shape(v)[0] % n == 0 else replicated
+
+    # one device_put for the whole dict (one dispatch, not one per key —
+    # per-dispatch latency is milliseconds through a TPU tunnel), skipping
+    # values already resident with the right sharding
+    todo = {
+        k: v
         for k, v in batch.items()
+        if not (isinstance(v, jax.Array) and v.sharding == spec(v))
     }
+    out = dict(batch)
+    if todo:
+        out.update(jax.device_put(todo, {k: spec(v) for k, v in todo.items()}))
+    return out

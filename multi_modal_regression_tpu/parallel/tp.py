@@ -71,10 +71,22 @@ def shard_state(state: Any, mesh: Mesh):
 
 
 def shard_batch_2d(batch: dict, mesh: Mesh) -> dict:
-    """Shard the batch on 'data', replicated across 'model'."""
+    """Shard the batch on 'data', replicated across 'model' (one dispatch
+    for the whole dict; already-resident arrays are passed through)."""
     n = mesh.shape["data"]
-    out = {}
-    for k, v in batch.items():
+
+    def sharding(v):
         spec = P("data") if np.shape(v)[0] % n == 0 else P()
-        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        return NamedSharding(mesh, spec)
+
+    todo = {
+        k: v
+        for k, v in batch.items()
+        if not (isinstance(v, jax.Array) and v.sharding == sharding(v))
+    }
+    out = dict(batch)
+    if todo:
+        out.update(
+            jax.device_put(todo, {k: sharding(v) for k, v in todo.items()})
+        )
     return out

@@ -46,16 +46,18 @@ def _interleave(real_loader, render_loader):
     (the ObjectNet single-loader protocol, learnObjectnetBDModel.py:74-75)
     the real batches pass through unchanged."""
     if render_loader is None:
-        for a in real_loader:
-            out = dict(a)
-            out["is_real"] = np.ones(len(a["label"]), bool)
-            yield out
+        # no is_real mask shipped: the compiled step defaults missing
+        # is_real to all-True IN GRAPH (steps.py), saving a per-step H2D
+        yield from real_loader
         return
+    mask = None
     for a, b in zip(real_loader, render_loader):
         out = {k: np.concatenate([a[k], b[k]]) for k in a}
-        out["is_real"] = np.concatenate(
-            [np.ones(len(a["label"]), bool), np.zeros(len(b["label"]), bool)]
-        )
+        if mask is None or len(mask) != len(out["label"]):
+            mask = np.concatenate(
+                [np.ones(len(a["label"]), bool), np.zeros(len(b["label"]), bool)]
+            )
+        out["is_real"] = mask
         yield out
 
 
@@ -119,7 +121,12 @@ class Trainer:
         from multi_modal_regression_tpu.train.presets import _model_takes_label
 
         args = (x, label) if _model_takes_label(cfg.model_kind) else (x,)
-        variables = self.model.init(jax.random.PRNGKey(seed), *args, train=False)
+        # jit the whole init: un-jitted flax init dispatches thousands of
+        # tiny ops (~12 min for ResNet50 over the TPU tunnel — CLAUDE.md);
+        # jitted it is one compiled program
+        variables = jax.jit(
+            lambda k: self.model.init(k, *args, train=False)
+        )(jax.random.PRNGKey(seed))
         state = create_train_state(variables, self.tx, seed=seed)
         if "model" in self.mesh.axis_names:
             from multi_modal_regression_tpu.parallel.tp import shard_state
@@ -210,8 +217,11 @@ class Trainer:
                 # the D2H fetches live only under the logging branches:
                 # through the TPU tunnel a host scalar fetch is a true sync,
                 # so doing one per step would serialize the loop (CLAUDE.md)
-                step = int(state.step)
-                m = {k: float(v) for k, v in metrics.items()}
+                # ONE D2H transfer for step + all metric scalars (each
+                # float(v) would be its own round trip through the tunnel)
+                fetched = jax.device_get({"step": state.step, **metrics})
+                step = int(fetched.pop("step"))
+                m = {k: float(v) for k, v in fetched.items()}
                 dt = time.time() - t0
                 rec = {
                     "step": step, "phase": phase, **m,

@@ -158,6 +158,170 @@ def test_predict_from_checkpoint(data_root, dictionary_file, tmp_path):
     assert list(workdir.glob("results_*_vk_dets.mat"))
 
 
+@pytest.fixture(scope="module")
+def pascal3d_release(tmp_path_factory):
+    from multi_modal_regression_tpu.tools.synthetic import (
+        generate_pascal3d_release,
+    )
+
+    root = tmp_path_factory.mktemp("cli_p3d")
+    db, voc = generate_pascal3d_release(
+        root / "release", classes=("aeroplane", "bicycle", "boat")
+    )
+    out = root / "prepared"
+    rc = main([
+        "prepare-data", "--dataset", "pascal3d",
+        "--db-path", str(db), "--voc-dir", str(voc), "--out", str(out),
+        "--classes", "aeroplane,bicycle,boat", "--workers", "2",
+    ])
+    assert rc == 0
+    return db, voc, out
+
+
+def test_prepare_data_pascal3d_then_train_mat_protocol(
+    pascal3d_release, dictionary_file, tmp_path
+):
+    """The ingested release trains via the CLI, validating on the
+    Pascal3dAll .mat protocol (--test-protocol mat)."""
+    db, voc, out = pascal3d_release
+    rc = main([
+        "train", "--preset", "geodesic_bd",
+        "--data-root", str(out),
+        "--real-subdir", "train", "--train-data", "real",
+        "--dbinfo", str(out / "dbinfo.mat"),
+        "--test-protocol", "mat", "--mat-split", "val",
+        "--dictionary", str(dictionary_file), "--dict-size", "4",
+        "--workdir", str(tmp_path / "p3d_run"),
+        *TINY_OVERRIDES,
+    ])
+    assert rc == 0
+    assert (tmp_path / "p3d_run" / "checkpoints" / "final").exists()
+
+
+def test_prepare_data_objectnet3d_cli(tmp_path):
+    from multi_modal_regression_tpu.tools.synthetic import (
+        generate_objectnet3d_release,
+    )
+
+    db = generate_objectnet3d_release(tmp_path / "release")
+    out = tmp_path / "prepared"
+    rc = main([
+        "prepare-data", "--dataset", "objectnet3d",
+        "--db-path", str(db), "--out", str(out), "--workers", "2",
+    ])
+    assert rc == 0
+    assert (out / "dbinfo.mat").exists()
+    assert list((out / "train" / "bed").glob("*.png"))
+
+
+def test_evaluate_detections_cli(pascal3d_release, tmp_path):
+    """prepare-detections + evaluate-detections: the CLI table matches
+    evaluate_detection_results called directly."""
+    import numpy as np
+    import scipy.io as spio
+
+    from multi_modal_regression_tpu.detection import (
+        DetectionSetIndex,
+        build_voc_ground_truth,
+        evaluate_detection_results,
+        load_results_mat,
+        save_results_mat,
+    )
+    from multi_modal_regression_tpu.tools.ingest import (
+        load_annotations_for_images,
+        read_image_set,
+    )
+
+    db, voc, _ = pascal3d_release
+    classes = ("aeroplane", "bicycle", "boat")
+    image_names = read_image_set(voc / "ImageSets" / "Main" / "val.txt")
+
+    # detector txt files: one detection per image right on the GT boxes of
+    # class 0 (plus one off-GT false positive)
+    rows = []
+    for i, n in enumerate(image_names):
+        anns = load_annotations_for_images(
+            db / "Annotations" / "aeroplane_pascal", [n]
+        )[0]
+        if anns:
+            b = anns[0].bbox
+            rows.append(f"{n} {b[0]} {b[1]} {b[2]} {b[3]} 0.9")
+    rows.append(f"{image_names[0]} 0 0 5 5 0.1")
+    (tmp_path / "results_aeroplane.txt").write_text("\n".join(rows) + "\n")
+
+    det_out = tmp_path / "mr_dets"
+    rc = main([
+        "prepare-detections", "--detector", "maskrcnn",
+        "--det-source", str(tmp_path),
+        "--images-dir", str(voc / "JPEGImages"),
+        "--image-set", str(voc / "ImageSets" / "Main" / "val.txt"),
+        "--out", str(det_out), "--image-size", "32", "--workers", "2",
+        "--detector-classes", "aeroplane",
+    ])
+    assert rc == 0
+    index = DetectionSetIndex(str(det_out))
+    assert len(index) == len(image_names)
+
+    # synthetic predictions: the GT pose for every detection (ARP-perfect)
+    rng = np.random.default_rng(0)
+    bboxes, ypred, labels = [], [], []
+    gt_by_cls = build_voc_ground_truth(
+        db / "Annotations", index.image_names, classes
+    )
+    from multi_modal_regression_tpu.detection import ground_truth_per_class
+
+    gts0 = ground_truth_per_class(gt_by_cls["aeroplane"], "aeroplane", 0)
+    for i, name in enumerate(index.image_names):
+        sample = index.load_image(i)
+        if sample is None:
+            bboxes.append(np.array([]))
+            ypred.append(np.array([]))
+            labels.append(np.array([]))
+            continue
+        n = len(sample["labels"])
+        poses = np.zeros((n, 3))
+        for j in range(n):
+            g = gts0[i]
+            if g is not None and len(g.poses):
+                poses[j] = g.poses[0]
+            else:
+                poses[j] = rng.standard_normal(3)
+        bboxes.append(sample["bboxes"])
+        ypred.append(poses)
+        labels.append(sample["labels"])  # 0-based
+    results = tmp_path / "results.mat"
+    save_results_mat(results, bboxes, ypred, labels)
+
+    out_json = tmp_path / "table.json"
+    # classes via a dbinfo file
+    spio.savemat(
+        str(tmp_path / "dbinfo_classes.mat"), {"classes": np.array(classes)}
+    )
+    rc = main([
+        "evaluate-detections",
+        "--results", str(results), "--det-path", str(det_out),
+        "--annotations", str(db / "Annotations"),
+        "--dbinfo", str(tmp_path / "dbinfo_classes.mat"),
+        "--out", str(out_json),
+    ])
+    assert rc == 0
+    table = json.loads(out_json.read_text())
+    assert "aeroplane" in table and "mean" in table
+    # matched detections carry the exact GT pose -> high ARP for class 0
+    assert table["aeroplane"]["ap"] > 0.5
+    assert table["aeroplane"]["arp"] > 0.5
+    assert table["aeroplane"]["med_err_deg"] < 1e-3
+
+    # parity with the library call
+    b2, y2, l2, s2 = load_results_mat(results)
+    direct = evaluate_detection_results(
+        gt_by_cls, b2, y2, l2, classes, scores=s2, nbins=4
+    )
+    for cls in table:
+        for k, v in table[cls].items():
+            assert direct[cls][k] == pytest.approx(v, abs=1e-9, nan_ok=True)
+
+
 def test_train_resume(data_root, dictionary_file, tmp_path):
     workdir = tmp_path / "resume_run"
     base = [

@@ -1,0 +1,319 @@
+"""PASCAL3D+/ObjectNet3D release ingestion: record readers, walkers,
+detector parsers — end-to-end over synthesized mini releases, with the
+produced trees consumed by the UNCHANGED data.index / data.loader classes."""
+
+import numpy as np
+import pytest
+import scipy.io as spio
+
+from multi_modal_regression_tpu.data import (
+    ClassBalancedIndex,
+    FlatTestIndex,
+    MatCropIndex,
+    parse_name,
+)
+from multi_modal_regression_tpu.data.loader import BalancedLoader, MatCropLoader, TestLoader
+from multi_modal_regression_tpu.detection import DetectionSetIndex
+from multi_modal_regression_tpu.tools.ingest import (
+    image_id,
+    load_annotations_for_images,
+    load_cad_vertices,
+    load_record_objects,
+    parse_maskrcnn_results,
+    parse_objectnet_detections,
+    parse_r4cnn_detections,
+    parse_vk_detections,
+    pascal3d_splits,
+    prepare_detection_set,
+    prepare_objectnet3d,
+    prepare_pascal3d,
+    read_image_set,
+    read_voc_image_set,
+)
+from multi_modal_regression_tpu.tools.synthetic import (
+    generate_objectnet3d_release,
+    generate_pascal3d_release,
+)
+
+CLASSES = ("aeroplane", "bicycle", "boat")
+
+
+@pytest.fixture(scope="module")
+def release(tmp_path_factory):
+    root = tmp_path_factory.mktemp("p3d")
+    db, voc = generate_pascal3d_release(root / "release", classes=CLASSES)
+    out = root / "prepared"
+    summary = prepare_pascal3d(db, voc, out, classes=CLASSES, log=lambda s: None)
+    return db, voc, out, summary
+
+
+def test_set_file_readers(release):
+    db, voc, _, _ = release
+    names = read_image_set(db / "Image_sets" / "aeroplane_imagenet_train.txt")
+    assert len(names) == 3 and names[0].startswith("n")
+    voc_names = read_voc_image_set(
+        voc / "ImageSets" / "Main" / "aeroplane_train.txt"
+    )
+    # the -1 flagged row is excluded
+    assert len(voc_names) == 3 and all("_9" not in n for n in voc_names)
+
+
+def test_record_reader_filters(release):
+    db, _, _, _ = release
+    anno = db / "Annotations" / "aeroplane_imagenet"
+    objs = load_record_objects(anno / "n02000_train0.mat")
+    # fixture: usable + truncated + other-class object
+    assert len(objs) == 3
+    assert sum(o.usable and o.cls == "aeroplane" for o in objs) == 1
+    assert any(o.truncated for o in objs)
+    assert any(o.cls == "other" for o in objs)
+    usable = next(o for o in objs if o.usable and o.cls == "aeroplane")
+    assert usable.distance > 0 and usable.focal == 3000.0  # focal*viewport
+
+
+def test_cad_loader(release):
+    db, _, _, _ = release
+    models = load_cad_vertices(db / "CAD" / "aeroplane.mat", "aeroplane")
+    assert len(models) == 2
+    assert models[0].shape == (60, 3) and models[1].shape == (60, 3)
+
+
+def test_prepare_pascal3d_trees_load(release):
+    """The walker's trees feed the existing loaders unchanged."""
+    _, _, out, summary = release
+    for cls in CLASSES:
+        s = summary["classes"][cls]
+        assert s["train_crops"] > 0 and s["test_crops"] > 0
+        assert s["augmented_crops"] > 0 and s["original_images"] > 0
+
+    # class-balanced train tree (flipped crops, info files present)
+    idx = ClassBalancedIndex(str(out / "train"), "real", classes=CLASSES)
+    assert all(n > 0 for n in idx.num_images)
+    loader = BalancedLoader(idx, items_per_batch=2, image_size=32, num_workers=2)
+    batch = next(iter(loader))
+    assert batch["xdata"].shape == (2 * len(CLASSES), 32, 32, 3)
+
+    # flipped pairs: each crop has a (-az, el, -ct) partner
+    names = idx.list_image_names[0]
+    parsed = [parse_name(n) for n in names]
+    by_prefix = {}
+    for p in parsed:
+        by_prefix.setdefault(p.prefix, []).append(p)
+    pair = next(v for v in by_prefix.values() if len(v) == 2)
+    a, b = sorted(pair, key=lambda p: p.az)
+    assert a.az == pytest.approx(-b.az, abs=1e-4)
+    assert a.ct == pytest.approx(-b.ct, abs=1e-4)
+    assert a.el == pytest.approx(b.el, abs=1e-4)
+
+    # flat test tree
+    tidx = FlatTestIndex(str(out / "test"), classes=CLASSES)
+    assert len(tidx) > 0
+    tl = TestLoader(tidx, batch_size=4, image_size=32, num_workers=2)
+    tb = next(iter(tl))
+    assert tb["euler"].shape == (4, 3)
+
+    # augmented2 tree: >2 crops per object (the jitter grid), info readable
+    aidx = ClassBalancedIndex(str(out / "augmented2"), "real", classes=CLASSES)
+    assert all(a >= t for a, t in zip(aidx.num_images, idx.num_images))
+
+    # original tree: Pascal3dAll protocol over .mat crops
+    midx = MatCropIndex(str(out / "original"), "test", classes=CLASSES)
+    assert len(midx) > 0
+    ml = MatCropLoader(midx, batch_size=3, num_workers=2)
+    got = 0
+    for b in ml:
+        assert b["xdata"].shape[1:] == (224, 224, 3)
+        got += int(b["valid"].sum())
+    assert got > 0
+    vidx = MatCropIndex(str(out / "original"), "val", classes=CLASSES)
+    assert len(vidx) > 0
+
+
+def test_prepare_pascal3d_crop_pose_matches_record(release):
+    """A written test-crop filename carries the record's viewpoint."""
+    db, _, out, _ = release
+    cls = "aeroplane"
+    tidx = FlatTestIndex(str(out / "test"), classes=CLASSES)
+    name = next(
+        str(n) for n, l in zip(tidx.image_names, tidx.labels) if l == 0
+    )
+    p = parse_name(name)
+    # find the source annotation by the underscore-free image id
+    anno_dir = db / "Annotations" / f"{cls}_pascal"
+    match = None
+    for f in anno_dir.glob("*.mat"):
+        if image_id(f.stem) in p.prefix:
+            for o in load_record_objects(f):
+                if o.cls == cls and o.usable and abs(o.az - p.az) < 1e-4:
+                    match = o
+    assert match is not None
+    assert match.el == pytest.approx(p.el, abs=1e-4)
+    assert match.ct == pytest.approx(p.ct, abs=1e-4)
+    assert match.distance == pytest.approx(p.d, abs=1e-4)
+
+
+def test_gray_image_and_missing_annotation_skipped(release):
+    db, _, out, _ = release
+    # the gray imagenet-val image and the missing-annotation train image
+    # produced no crops: their ids appear nowhere in the train tree
+    idx = ClassBalancedIndex(str(out / "train"), "real", classes=CLASSES)
+    all_names = " ".join(" ".join(map(str, n)) for n in idx.list_image_names)
+    gray_id = image_id("n02000_val2")  # last val image is gray
+    missing_id = image_id("n02000_train2")  # train2 has no annotation file
+    assert gray_id not in all_names
+    assert missing_id not in all_names
+
+
+def test_dbinfo_and_splits(release):
+    db, voc, out, _ = release
+    tmp = spio.loadmat(str(out / "dbinfo.mat"), squeeze_me=True)
+    # char arrays round-trip space-padded; consumers strip (cli.py:114)
+    assert [str(c).strip() for c in tmp["classes"]] == list(CLASSES)
+    splits = pascal3d_splits(db, voc, "bicycle")
+    assert set(splits) == {
+        "imagenet_train", "imagenet_val", "pascal_train", "pascal_val"
+    }
+    assert all(len(v) == 3 for v in splits.values())
+
+
+def test_annotations_for_images(release):
+    db, _, _, _ = release
+    anno = db / "Annotations" / "aeroplane_pascal"
+    names = [f.stem for f in sorted(anno.glob("*.mat"))] + ["nonexistent"]
+    anns = load_annotations_for_images(anno, names)
+    assert anns[-1] is None
+    assert all(a is not None for a in anns[:-1])
+    assert any(o.difficult for a in anns[:-1] for o in a)
+
+
+def test_prepare_objectnet3d(tmp_path):
+    classes = ("bed", "coffee_maker", "shoe")
+    db = generate_objectnet3d_release(tmp_path / "release", classes=classes)
+    out = tmp_path / "prepared"
+    summary = prepare_objectnet3d(db, out, log=lambda s: None)
+    assert set(summary) == set(classes)
+    # dbinfo carries the class list the CLI's --dbinfo flag reads
+    tmp = spio.loadmat(str(out / "dbinfo.mat"), squeeze_me=True)
+    assert [str(c).strip() for c in tmp["classes"]] == list(classes)
+    # train tree: 8 crops per object (flip x 4 rotations); ct steps of 90
+    tr = FlatTestIndex(str(out / "train"), classes=classes)
+    assert len(tr) == sum(s["train"] for s in summary.values())
+    names0 = [
+        str(n) for n, l in zip(tr.image_names, tr.labels) if l == 0
+    ]
+    prefixes = {}
+    for n in names0:
+        p = parse_name(n)
+        prefixes.setdefault(p.prefix, []).append(p)
+    group = max(prefixes.values(), key=len)
+    assert len(group) == 8
+    # 4 rotations of the original (az > 0) + 4 of the flip (az < 0, ct
+    # negated); within each quadruple ct steps by 90 degrees
+    for half in (
+        [p for p in group if p.az >= 0], [p for p in group if p.az < 0]
+    ):
+        assert len(half) == 4
+        cts = sorted(p.ct for p in half)
+        assert np.allclose(np.diff(cts), 90.0, atol=1e-4)
+    # underscore-free class id in filenames, raw class name as directory
+    assert (out / "train" / "coffee_maker").exists()
+    cm = FlatTestIndex(str(out / "train"), classes=classes)
+    cm_names = [
+        str(n) for n, l in zip(cm.image_names, cm.labels) if l == 1
+    ]
+    assert all(n.startswith("coffeemaker_") for n in cm_names)
+    # test tree: single plain crop per object, loadable
+    te = FlatTestIndex(str(out / "test"), classes=classes)
+    assert len(te) > 0
+    tl = TestLoader(te, batch_size=4, image_size=32, num_workers=2)
+    assert next(iter(tl))["xdata"].shape == (4, 32, 32, 3)
+
+
+def _vk_fixture(tmp_path, rng, image_names):
+    """VOC2012_val_det.mat: 20-class chosenboxes/topscores cells."""
+    n = len(image_names)
+    chosen = np.empty((1, 20), object)
+    tops = np.empty((1, 20), object)
+    for c in range(20):
+        boxes = np.empty((1, n), object)
+        scores = np.empty((1, n), object)
+        for i in range(n):
+            k = int(rng.integers(0, 3)) if c in (0, 3) else 0
+            boxes[0, i] = rng.uniform(0, 60, (k, 4)) + [0, 0, 30, 30]
+            scores[0, i] = rng.uniform(0, 1, (k, 1))
+        chosen[0, c] = boxes
+        tops[0, c] = scores
+    f = tmp_path / "VOC2012_val_det.mat"
+    spio.savemat(str(f), {"chosenboxes": chosen, "topscores": tops})
+    return f
+
+
+def test_parse_vk_detections(tmp_path):
+    rng = np.random.default_rng(0)
+    names = [f"2008_{i:06d}" for i in range(4)]
+    f = _vk_fixture(tmp_path, rng, names)
+    dets = parse_vk_detections(f, num_images=4)
+    assert len(dets) == 4
+    boxes, labels = dets[0]
+    assert boxes.shape[1] == 5  # score column appended
+    # VOC ids 1 and 4 map to rigid classes 1 ('aeroplane') and 2 ('bottle'?
+    # no: classInds[1]=2 is 'bicycle'; id 4 is position 3 -> 'bottle')
+    assert set(np.unique(labels)) <= {1, 3}
+
+
+def test_parse_r4cnn_detections(tmp_path):
+    rng = np.random.default_rng(1)
+    classes = ("aeroplane", "bicycle")
+    for cls in classes:
+        cell = np.empty((1, 3), object)
+        for i in range(3):
+            k = int(rng.integers(0, 3))
+            cell[0, i] = rng.uniform(0, 50, (k, 5))
+        spio.savemat(
+            str(tmp_path / f"{cls}_pruned_boxes_voc_2012_val_bbox_reg.mat"),
+            {"boxes": cell},
+        )
+    dets = parse_r4cnn_detections(tmp_path, classes=classes, num_images=3)
+    assert len(dets) == 3
+    for boxes, labels in dets:
+        assert boxes.shape[1] == 5 and len(boxes) == len(labels)
+        assert set(np.unique(labels)) <= {1, 2}
+
+
+def test_parse_maskrcnn_and_prepare_detection_set(tmp_path, release):
+    db, voc, _, _ = release
+    img_dir = voc / "JPEGImages"
+    image_names = read_image_set(voc / "ImageSets" / "Main" / "val.txt")[:4]
+    rows = []
+    for i, n in enumerate(image_names[:3]):
+        rows.append(f"{n} 5 5 40 40 0.{9 - i}")
+    (tmp_path / "results_aeroplane.txt").write_text("\n".join(rows) + "\n")
+    dets = parse_maskrcnn_results(
+        tmp_path, image_names, classes=("aeroplane",)
+    )
+    assert sum(len(b) for b, _ in dets) == 3
+    assert dets[0][0][0, 4] == pytest.approx(0.9)
+
+    out = tmp_path / "mr_dets"
+    prepare_detection_set(img_dir, image_names, dets, out, size=64)
+    idx = DetectionSetIndex(str(out))
+    assert len(idx) == 4
+    sample = idx.load_image(0)
+    assert sample is not None
+    assert sample["xdata"].shape[1:] == (64, 64, 3)
+    assert sample["scores"][0] == pytest.approx(0.9)
+    assert idx.load_image(3) is None  # no detections on the last image
+
+
+def test_parse_objectnet_detections(tmp_path):
+    lines = [
+        "o3dval_00000 1 2 30 40 0.8 0.1 0.2 0.3",
+        "o3dval_00001 5 6 50 60 0.7 -0.1 0.0 0.4",
+    ]
+    f = tmp_path / "detections_bed.txt"
+    f.write_text("\n".join(lines) + "\n")
+    info = parse_objectnet_detections(f)
+    assert list(info["image_names"]) == ["o3dval_00000", "o3dval_00001"]
+    assert info["bboxes"].shape == (2, 4)
+    np.testing.assert_allclose(info["det_scores"], [0.8, 0.7])
+    np.testing.assert_allclose(info["ypred"][0], [0.1, 0.2, 0.3])
