@@ -147,7 +147,24 @@ def _make_test_loader(args, cfg, classes, load_size):
     )
 
 
-def _make_loaders(args, cfg):
+def _maybe_init_distributed(args) -> tuple[int, int]:
+    """jax.distributed multi-host wiring (--distributed; SURVEY §2.4 DCN
+    row). Must run before loaders/Trainer touch the backend. Returns
+    (host_count, host_index) for the loader input striding."""
+    if not getattr(args, "distributed", False):
+        return 1, 0
+    from multi_modal_regression_tpu.parallel.multihost import initialize
+
+    count, index = initialize(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    print(f"distributed: process {index}/{count}", flush=True)
+    return count, index
+
+
+def _make_loaders(args, cfg, host_count: int = 1, host_index: int = 0):
     from multi_modal_regression_tpu.data import (
         BalancedLoader,
         ClassBalancedIndex,
@@ -159,6 +176,7 @@ def _make_loaders(args, cfg):
     protocol = args.protocol or (
         "flat" if cfg.preset.startswith("objectnet") else "balanced"
     )
+    hosts = dict(host_count=host_count, host_index=host_index)
     # with the on-device resize fast path, loaders ship raw-size images
     load_size = cfg.device_resize_from or cfg.image_size
     root = Path(args.data_root)
@@ -168,7 +186,7 @@ def _make_loaders(args, cfg):
         train = FlatLoader(
             FlatTestIndex(str(root / "train"), classes=classes),
             batch_size=cfg.items_per_batch * 12, image_size=load_size,
-            num_workers=args.num_workers, seed=cfg.seed,
+            num_workers=args.num_workers, seed=cfg.seed, **hosts,
         )
         return train, None, _make_test_loader(args, cfg, classes, load_size)
     # --train-data selects real/render/both (the ablationGBDAugmentation.py
@@ -181,7 +199,7 @@ def _make_loaders(args, cfg):
                 str(root / args.real_subdir), "real", classes=classes
             ),
             cfg.items_per_batch, load_size,
-            num_workers=args.num_workers, seed=cfg.seed,
+            num_workers=args.num_workers, seed=cfg.seed, **hosts,
         )
     if which in ("both", "render"):
         render = BalancedLoader(
@@ -189,7 +207,7 @@ def _make_loaders(args, cfg):
                 str(root / args.render_subdir), "render", classes=classes
             ),
             cfg.items_per_batch, load_size,
-            num_workers=args.num_workers, seed=cfg.seed,
+            num_workers=args.num_workers, seed=cfg.seed, **hosts,
         )
     if real is None:  # render-only: it drives the loop
         real, render = render, None
@@ -197,6 +215,8 @@ def _make_loaders(args, cfg):
 
 
 def cmd_train(args) -> int:
+    host_count, host_index = _maybe_init_distributed(args)
+
     from multi_modal_regression_tpu.train import Trainer
 
     cfg = _config_from_args(args)
@@ -204,7 +224,7 @@ def cmd_train(args) -> int:
     trainer = Trainer(
         cfg, dictionary=_load_dictionary(args.dictionary), workdir=workdir
     )
-    real, render, test = _make_loaders(args, cfg)
+    real, render, test = _make_loaders(args, cfg, host_count, host_index)
     if args.resume:
         state = trainer.restore_checkpoint()
         print(f"resumed from step {int(state.step)}", flush=True)
@@ -556,6 +576,13 @@ def main(argv=None) -> int:
     p_train.add_argument("--warm-start-checkpoint", type=str, default="final")
     p_train.add_argument("--warm-start-kind",
                          choices=("classifier", "oracle"), default="oracle")
+    p_train.add_argument("--distributed", action="store_true",
+                         help="multi-host SPMD: call jax.distributed."
+                              "initialize and stride the input pipeline "
+                              "per host (run this command on every host)")
+    p_train.add_argument("--coordinator-address", type=str, default=None)
+    p_train.add_argument("--num-processes", type=int, default=None)
+    p_train.add_argument("--process-id", type=int, default=None)
     _add_common_data_args(p_train)
     _add_config_overrides(p_train)
     p_train.set_defaults(fn=cmd_train)

@@ -1,0 +1,83 @@
+"""Multi-host SPMD entry point (jax.distributed over DCN).
+
+The reference is single-process single-GPU (CUDA_VISIBLE_DEVICES binding,
+learnGeodesicBDModel.py:47-48); the TPU-native superset (SURVEY.md §2.4)
+runs one process per host, each feeding its local devices:
+
+  1. every process calls `initialize()` FIRST (before any other jax use) —
+     coordinator/process info from args or the standard JAX env vars
+     (auto-detected on Cloud TPU pods);
+  2. loaders take `host_count=jax.process_count()`,
+     `host_index=jax.process_index()` — each host reads a disjoint stride
+     of the shared seeded epoch order (tested against the single-host
+     global-batch oracle, tests/test_data.py);
+  3. `global_batch_from_local` assembles each host's LOCAL batch shard into
+     one global jax.Array sharded over the full mesh
+     (jax.make_array_from_process_local_data); the same jitted train step
+     then runs unchanged — XLA routes the gradient psum over ICI within a
+     pod slice and DCN across slices.
+
+CLI: `python -m multi_modal_regression_tpu.cli train ... --distributed
+[--coordinator-address H:P --num-processes N --process-id I]` on every host.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids: list[int] | None = None,
+) -> tuple[int, int]:
+    """jax.distributed.initialize wrapper; returns (process_count,
+    process_index). Must run before the backend is touched. With no args,
+    JAX auto-detects from the environment (TPU pod metadata or the
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID vars)."""
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    return jax.process_count(), jax.process_index()
+
+
+def host_info() -> tuple[int, int]:
+    """(process_count, process_index) — (1, 0) in single-process runs."""
+    import jax
+
+    return jax.process_count(), jax.process_index()
+
+
+def global_batch_from_local(
+    batch: Mapping[str, Any], mesh, axis_name: str = "data"
+) -> dict:
+    """Assemble per-host local batch shards into global arrays sharded on
+    the batch axis of `mesh`. Every host passes its OWN stride's batch (the
+    loaders' host_count/host_index slicing); the returned arrays are global:
+    leading dim = local_dim * process_count. Values whose leading axis does
+    not divide the mesh's data axis are replicated (requires identical
+    content on every host)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape[axis_name]
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, jax.Array):
+            out[k] = v  # already global
+            continue
+        v = np.asarray(v)
+        global_leading = v.shape[0] * jax.process_count()
+        spec = P(axis_name) if global_leading % n == 0 else P()
+        out[k] = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), v
+        )
+    return out

@@ -135,6 +135,15 @@ class Trainer:
         return jax.device_put(state, replicated_sharding(self.mesh))
 
     def shard_batch(self, batch: dict) -> dict:
+        if jax.process_count() > 1:
+            # multi-host SPMD: each process holds its own loader stride
+            # (BalancedLoader host_count/host_index); assemble the global
+            # batch-sharded arrays (parallel.multihost)
+            from multi_modal_regression_tpu.parallel.multihost import (
+                global_batch_from_local,
+            )
+
+            return global_batch_from_local(batch, self.mesh)
         if "model" in self.mesh.axis_names:
             from multi_modal_regression_tpu.parallel.tp import shard_batch_2d
 

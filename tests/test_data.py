@@ -208,6 +208,54 @@ def test_balanced_loader_host_sharding(dataset):
         np.testing.assert_array_equal(h1[i], single[2 * i + 1])
 
 
+def test_multihost_stride_composes_to_global_batch(dataset):
+    """The COMPOSED multi-host input path: per-host strided batches,
+    concatenated in host order, reproduce the single-host loader with the
+    hosts' summed items_per_batch exactly (the global-batch oracle for
+    jax.make_array_from_process_local_data assembly)."""
+    def loader(ipb, host_count, host_index):
+        idx = ClassBalancedIndex(str(dataset), "real", classes=CLASSES)
+        return BalancedLoader(
+            idx, items_per_batch=ipb, image_size=48, seed=5, num_workers=2,
+            host_count=host_count, host_index=host_index,
+        )
+
+    h0 = list(loader(1, 2, 0))
+    h1 = list(loader(1, 2, 1))
+    oracle = list(loader(2, 1, 0))
+    assert len(h0) == len(h1) == len(oracle)
+    for b0, b1, bo in zip(h0, h1, oracle):
+        for k in bo:
+            np.testing.assert_array_equal(
+                np.concatenate([b0[k], b1[k]]), bo[k]
+            )
+
+
+def test_global_batch_from_local_single_process(dataset):
+    """global_batch_from_local (the multi-host assembly) in the 1-process
+    case: batch-sharded global arrays on the mesh, values intact."""
+    import jax
+    from multi_modal_regression_tpu.parallel.mesh import make_mesh
+    from multi_modal_regression_tpu.parallel.multihost import (
+        global_batch_from_local,
+        host_info,
+    )
+
+    assert host_info() == (1, 0)
+    mesh = make_mesh(jax.devices()[:4])
+    batch = {
+        "xdata": np.arange(8 * 4 * 4 * 3, dtype=np.uint8).reshape(8, 4, 4, 3),
+        "label": np.arange(8, dtype=np.int32),
+        "odd": np.arange(3, dtype=np.float32),  # doesn't divide: replicated
+    }
+    out = global_batch_from_local(batch, mesh)
+    assert "data" in str(out["xdata"].sharding.spec)
+    assert out["xdata"].sharding.shard_shape(out["xdata"].shape)[0] == 2
+    assert out["odd"].sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(out["xdata"]), batch["xdata"])
+    np.testing.assert_array_equal(np.asarray(out["label"]), batch["label"])
+
+
 def test_loader_propagates_worker_errors(dataset, tmp_path):
     """A corrupt image must raise, not silently truncate the epoch."""
     import shutil
