@@ -65,6 +65,47 @@ def _bn(train: bool, dtype, name: str):
     )
 
 
+class _ConvKernel(nn.Module):
+    """Parameter holder producing the same tree as nn.Conv (<name>/kernel).
+
+    Used by the fused conv+BN path so fused and unfused checkpoints are
+    interchangeable (same names, shapes, and lecun_normal init).
+    """
+
+    shape: tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
+class _BNState(nn.Module):
+    """Parameter/stat holder matching nn.BatchNorm's tree
+    (<name>/{scale,bias} + batch_stats <name>/{mean,var}), with flax's
+    biased-variance running update (momentum 0.9, like _bn above)."""
+
+    features: int
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        if batch_mean is not None and not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * batch_mean
+            ra_var.value = m * ra_var.value + (1 - m) * batch_var
+        return scale, bias, ra_mean.value, ra_var.value
+
+
 class BasicBlock(nn.Module):
     """ResNet18/34 residual block: 3x3 -> 3x3 with identity shortcut."""
 
@@ -87,14 +128,26 @@ class BasicBlock(nn.Module):
 
 
 class BottleneckBlock(nn.Module):
-    """ResNet50/101 bottleneck (torchvision v1.5: stride on the 3x3 conv)."""
+    """ResNet50/101 bottleneck (torchvision v1.5: stride on the 3x3 conv).
+
+    With `fused` set ('pallas'|'xla'|'interpret'), the training path runs the
+    1x1 convs through ops.fused_conv_bn: batch-norm statistics are computed
+    in the convolution's own output pass and the normalize+relu of each conv
+    is applied on the fly in the NEXT conv's input pass, eliminating the
+    dedicated BN statistic/normalize HBM passes XLA otherwise emits (the
+    round-2 bandwidth lever, BASELINE.md roofline). Parameter and
+    batch_stats trees are identical to the unfused path.
+    """
 
     features: int  # bottleneck width; output channels = 4 * features
     stride: int = 1
     dtype: Any = jnp.float32
+    fused: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if self.fused is not None:
+            return self._call_fused(x, train)
         residual = x
         y = _conv(self.features, 1, 1, 0, self.dtype, "conv1")(x)
         y = _bn(train, self.dtype, "bn1")(y)
@@ -109,6 +162,118 @@ class BottleneckBlock(nn.Module):
             residual = _bn(train, self.dtype, "downsample_bn")(residual)
         return nn.relu(y + residual)
 
+    def _call_fused(self, x: jax.Array, train: bool) -> jax.Array:
+        from multi_modal_regression_tpu.ops.fused_conv_bn import (
+            conv1x1_bn_stats,
+            fold_bn,
+            stats_to_moments,
+        )
+
+        f = self.features
+        cin = x.shape[-1]
+        w1 = _ConvKernel((1, 1, cin, f), name="conv1")()
+        w2 = _ConvKernel((3, 3, f, f), name="conv2")()
+        w3 = _ConvKernel((1, 1, f, 4 * f), name="conv3")()
+        bn1 = _BNState(f, name="bn1")
+        bn2 = _BNState(f, name="bn2")
+        bn3 = _BNState(4 * f, name="bn3")
+        needs_ds = self.stride != 1 or cin != 4 * f
+        wd = bnd = None
+        if needs_ds:
+            wd = _ConvKernel((1, 1, cin, 4 * f), name="downsample_conv")()
+            bnd = _BNState(4 * f, name="downsample_bn")
+        dt = self.dtype
+
+        def conv2_xla(z1):
+            return jax.lax.conv_general_dilated(
+                z1.astype(dt), w2.astype(dt),
+                window_strides=(self.stride, self.stride),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        if not train:
+            # eval: plain convs + running-stat affine (same math as unfused,
+            # bf16 like flax BatchNorm with dtype=bf16)
+            def affine(y, bn):
+                sc, bi, m, v = bn(None, None)
+                a, b = fold_bn(m, v, sc, bi)
+                return y * a.astype(y.dtype) + b.astype(y.dtype)
+
+            y1 = jax.lax.conv_general_dilated(
+                x.astype(dt), w1[...].astype(dt), (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            z1 = nn.relu(affine(y1, bn1)).astype(dt)
+            y2 = conv2_xla(z1)
+            z2 = nn.relu(affine(y2, bn2)).astype(dt)
+            y3 = jax.lax.conv_general_dilated(
+                z2, w3[...].astype(dt), (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            z3 = affine(y3, bn3)
+            if needs_ds:
+                yd = jax.lax.conv_general_dilated(
+                    x.astype(dt), wd[...].astype(dt),
+                    (self.stride, self.stride), ((0, 0), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                shortcut = affine(yd, bnd)
+            else:
+                shortcut = x
+            return nn.relu(z3 + shortcut).astype(dt)
+
+        from multi_modal_regression_tpu.ops.fused_conv_bn import (
+            conv3x3_bn_stats,
+        )
+
+        impl = self.fused
+        # conv1 (input is already post-activation -> no prologue)
+        y1, s1 = conv1x1_bn_stats(x, w1, None, relu=False, impl=impl)
+        m1, v1 = stats_to_moments(s1, y1.shape[0] * y1.shape[1] * y1.shape[2])
+        sc1, bi1, _, _ = bn1(m1, v1)
+        a1, b1 = fold_bn(m1, v1, sc1, bi1)
+        count2 = (y1.shape[0] * y1.shape[1] * y1.shape[2]) // self.stride**2
+        if self.stride == 1:
+            # fused 3x3: bn1+relu applied in the input pass, stats in the
+            # output pass (falls back internally if VMEM would not fit)
+            y2, s2 = conv3x3_bn_stats(
+                y1, w2, (a1, b1), relu=True, impl=impl
+            )
+        else:
+            # strided 3x3 stays XLA: materialize the normalized input,
+            # stats via an XLA reduce (bf16 affine: f32 glue would force
+            # f32 autodiff residuals, doubling the HBM traffic)
+            z1 = nn.relu(y1 * a1.astype(dt) + b1.astype(dt))
+            y2 = conv2_xla(z1)
+            y2f = y2.astype(jnp.float32)
+            s2 = jnp.stack([
+                jnp.sum(y2f, axis=(0, 1, 2)),
+                jnp.sum(y2f * y2f, axis=(0, 1, 2)),
+            ])
+        m2, v2 = stats_to_moments(s2, count2)
+        sc2, bi2, _, _ = bn2(m2, v2)
+        ab2 = fold_bn(m2, v2, sc2, bi2)
+        # conv3: bn2+relu applied on the fly in the input pass
+        y3, s3 = conv1x1_bn_stats(y2, w3, ab2, relu=True, impl=impl)
+        m3, v3 = stats_to_moments(s3, count2)
+        sc3, bi3, _, _ = bn3(m3, v3)
+        a3, b3 = fold_bn(m3, v3, sc3, bi3)
+        if needs_ds:
+            yd, sd = conv1x1_bn_stats(
+                x, wd, None, stride=self.stride, relu=False, impl=impl
+            )
+            md, vd = stats_to_moments(sd, count2)
+            scd, bid, _, _ = bnd(md, vd)
+            ad, bd = fold_bn(md, vd, scd, bid)
+            shortcut = yd * ad.astype(dt) + bd.astype(dt)
+        else:
+            shortcut = x
+        # all-bf16 glue: keeps autodiff residuals bf16 and lets XLA fuse
+        # the affine+add+relu into one pass (flax's dtype-bf16 semantics)
+        out = nn.relu(y3 * a3.astype(dt) + b3.astype(dt) + shortcut)
+        return out.astype(dt)
+
 
 class ResNetBackbone(nn.Module):
     """ResNet feature extractor truncated after `num_stages` residual stages.
@@ -122,6 +287,8 @@ class ResNetBackbone(nn.Module):
     num_stages: int = 4
     pool: bool = True  # False -> return spatial (B, H, W, C) pre-pool features
     dtype: Any = jnp.float32
+    fused: str | None = None  # fused conv+BN impl for bottleneck blocks
+    stem_pool: str | None = None  # fused stem bn+relu+maxpool (ops.stem_pool)
 
     @property
     def feature_dim(self) -> int:
@@ -139,19 +306,59 @@ class ResNetBackbone(nn.Module):
 
         x = x.astype(self.dtype)
         x = _conv(64, 7, 2, 3, self.dtype, "conv1")(x)
-        x = _bn(train, self.dtype, "bn1")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.fused is not None or self.stem_pool is not None:
+            # explicit folded BN (stats via one reduce, bf16 affine): the
+            # flax module's normalize materializes f32 intermediates at
+            # Pallas fusion boundaries, doubling stem HBM traffic
+            from multi_modal_regression_tpu.ops.fused_conv_bn import (
+                fold_bn,
+                stats_to_moments,
+            )
+
+            bn1 = _BNState(64, name="bn1")
+            if train:
+                xf = x.astype(jnp.float32)
+                s = jnp.stack([
+                    jnp.sum(xf, axis=(0, 1, 2)),
+                    jnp.sum(xf * xf, axis=(0, 1, 2)),
+                ])
+                m, v = stats_to_moments(
+                    s, x.shape[0] * x.shape[1] * x.shape[2]
+                )
+                sc, bi, _, _ = bn1(m, v)
+            else:
+                sc, bi, m, v = bn1(None, None)
+            a, b = fold_bn(m, v, sc, bi)
+            if self.stem_pool is not None:
+                # one fused pass: affine + relu + maxpool (ops.stem_pool)
+                from multi_modal_regression_tpu.ops.stem_pool import (
+                    stem_bn_relu_pool,
+                )
+
+                x = stem_bn_relu_pool(x, a, b, self.stem_pool)
+            else:
+                x = nn.relu(x * a.astype(x.dtype) + b.astype(x.dtype))
+                x = nn.max_pool(
+                    x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+                )
+        else:
+            x = _bn(train, self.dtype, "bn1")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
 
         for stage in range(self.num_stages):
             width = 64 * 2**stage
             for block in range(stage_sizes[stage]):
                 stride = 2 if stage > 0 and block == 0 else 1
+                kwargs = {"fused": self.fused} if bottleneck else {}
                 x = block_cls(
                     features=width,
                     stride=stride,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
+                    **kwargs,
                 )(x, train)
 
         if not self.pool:
@@ -176,6 +383,7 @@ class ResNetStage(nn.Module):
     stage: int = 4  # 1-indexed stage number
     pool: bool = True
     dtype: Any = jnp.float32
+    fused: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -185,9 +393,10 @@ class ResNetStage(nn.Module):
         x = x.astype(self.dtype)
         for block in range(stage_sizes[self.stage - 1]):
             stride = 2 if self.stage > 1 and block == 0 else 1
+            kwargs = {"fused": self.fused} if bottleneck else {}
             x = block_cls(
                 features=width, stride=stride, dtype=self.dtype,
-                name=f"layer{self.stage}_{block}",
+                name=f"layer{self.stage}_{block}", **kwargs,
             )(x, train)
         if self.pool:
             x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
@@ -238,14 +447,24 @@ class VGGBackbone(nn.Module):
         return x.astype(jnp.float32)
 
 
-def make_backbone(name: str, layer: str, dtype: Any = jnp.float32) -> nn.Module:
+def make_backbone(
+    name: str,
+    layer: str,
+    dtype: Any = jnp.float32,
+    fused: str | None = None,
+    stem_pool: str | None = None,
+) -> nn.Module:
     """Factory matching the reference's (model_type, layer_type) interface.
 
     name in RESNET_CONFIGS with layer 'layer2'|'layer3'|'layer4', or
-    name in VGG_CONFIGS with layer 'fc6'|'fc7'.
+    name in VGG_CONFIGS with layer 'fc6'|'fc7'. `fused` selects the fused
+    conv+BN training path for bottleneck ResNets (see BottleneckBlock).
     """
     if name in RESNET_CONFIGS:
-        return ResNetBackbone(arch=name, num_stages=int(layer[-1]), dtype=dtype)
+        return ResNetBackbone(
+            arch=name, num_stages=int(layer[-1]), dtype=dtype, fused=fused,
+            stem_pool=stem_pool,
+        )
     if name in VGG_CONFIGS:
         return VGGBackbone(arch=name, layer=layer, dtype=dtype)
     raise ValueError(f"unknown backbone {name!r}")

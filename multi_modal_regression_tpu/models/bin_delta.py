@@ -40,10 +40,13 @@ class OneBinDeltaModel(nn.Module):
     feature_network: str = "resnet50"
     feature_layer: str = "layer4"
     dtype: Any = jnp.float32
+    fused_bn: str | None = None  # fused conv+BN train path (ops.fused_conv_bn)
+    stem_pool: str | None = None  # fused stem bn+relu+maxpool (ops.stem_pool)
 
     def setup(self):
         self.feature_model = make_backbone(
-            self.feature_network, self.feature_layer, dtype=self.dtype
+            self.feature_network, self.feature_layer, dtype=self.dtype,
+            fused=self.fused_bn, stem_pool=self.stem_pool,
         )
         self.bin_models = MultiHeadMLP(
             num_heads=self.num_classes,
@@ -84,10 +87,13 @@ class _DeltaPerBinBase(nn.Module):
     feature_network: str = "resnet50"
     feature_layer: str = "layer4"
     dtype: Any = jnp.float32
+    fused_bn: str | None = None  # fused conv+BN train path (ops.fused_conv_bn)
+    stem_pool: str | None = None  # fused stem bn+relu+maxpool (ops.stem_pool)
 
     def setup(self):
         self.feature_model = make_backbone(
-            self.feature_network, self.feature_layer, dtype=self.dtype
+            self.feature_network, self.feature_layer, dtype=self.dtype,
+            fused=self.fused_bn, stem_pool=self.stem_pool,
         )
         self.bin_models = MultiHeadMLP(
             num_heads=self.num_classes,

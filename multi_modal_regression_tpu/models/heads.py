@@ -86,8 +86,14 @@ class MultiHeadMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        if x.ndim == 2:
-            x = jnp.broadcast_to(x[:, None, :], (x.shape[0], self.num_heads, x.shape[1]))
+        # Internal layout is heads-leading (H, B, F): XLA emits clean batched
+        # GEMMs for (H,B,I)x(H,I,O) contractions, where the heads-middle
+        # einsum 'bhi,hio->bho' lowers to a dilated-convolution backward
+        # that moves ~8x the minimal HBM bytes (measured in the train-step
+        # xplane profile, BASELINE.md round 2).
+        shared_input = x.ndim == 2
+        if not shared_input:
+            x = jnp.transpose(x, (1, 0, 2))  # (B, H, F) -> (H, B, F)
         x = x.astype(self.dtype)
         dims = tuple(self.features)
         for li, out_dim in enumerate(dims):
@@ -98,24 +104,41 @@ class MultiHeadMLP(nn.Module):
                 torch_linear_init(fan_in),
                 (self.num_heads, fan_in, out_dim),
             ).astype(self.dtype)
-            # (B,H,I) x (H,I,O) -> (B,H,O): one batched matmul for the bank.
-            x = jnp.einsum("bhi,hio->bho", x, kernel, preferred_element_type=self.dtype)
+            if li == 0 and shared_input:
+                # shared features: contract (B, I) x (H, I, O) -> (H, B, O)
+                # directly — no transposed/reshaped weight copy (a per-step
+                # 49 MB materialization whose gradient untranspose tripled
+                # the backward cost when tried)
+                x = jax.lax.dot_general(
+                    x, kernel,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=self.dtype,
+                )  # (B, H, O)
+                x = jnp.transpose(x, (1, 0, 2))  # (H, B, O)
+            else:
+                # per-head inputs: batched GEMM with heads as the batch dim
+                x = jax.lax.dot_general(
+                    x, kernel,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=self.dtype,
+                )  # (H, B, O)
             if last:
                 bias = self.param(
                     f"fc{li + 1}_bias", torch_linear_init(fan_in),
                     (self.num_heads, out_dim),
                 ).astype(self.dtype)
-                x = x + bias[None]
+                x = x + bias[:, None, :]
             else:
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,
-                    axis=(-2, -1),  # per-(head, feature) stats over the batch
+                    axis=(0, -1),  # per-(head, feature) stats over the batch
                     dtype=self.dtype,
                     name=f"bn{li + 1}",
                 )(x)
                 x = nn.relu(x)
+        x = jnp.transpose(x, (1, 0, 2))  # back to (B, H, out)
         return apply_output_nonlinearity(x.astype(jnp.float32), self.output_nonlinearity)
 
 

@@ -94,6 +94,13 @@ class ExperimentConfig:
     eval_every: int = 1000
     seed: int = 0
     compute_dtype: str = "float32"  # 'bfloat16' for the TPU fast path
+    # fused conv+BN training path for bottleneck ResNets (ops.fused_conv_bn):
+    # 'auto' = Pallas kernels when on TPU with bfloat16 compute, else off;
+    # 'pallas'|'xla'|'interpret' force an impl; None/'off' = flax modules
+    fused_conv_bn: str | None = "auto"
+    # fused stem bn+relu+maxpool kernel (ops.stem_pool); 'auto' = on for
+    # single-chip TPU + bfloat16
+    stem_pool: str | None = "auto"
     tensorboard: bool = False  # also emit TB scalars (utils.metrics_writer)
     # snapshot-ensemble evaluation (helperFunctions.py:64,112-118)
     eval_alpha1: float = 1e-6
@@ -114,22 +121,32 @@ def _model_takes_label(kind: str) -> bool:
 
 
 def build_model(cfg: ExperimentConfig):
+    from multi_modal_regression_tpu.ops.fused_conv_bn import resolve_impl
+    from multi_modal_regression_tpu.ops.stem_pool import resolve_stem_impl
+
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     common = dict(
         num_classes=cfg.num_classes, N0=cfg.N0, N1=cfg.N1, N2=cfg.N2,
         feature_network=cfg.feature_network, feature_layer=cfg.feature_layer,
         dtype=dtype,
     )
+    fused = resolve_impl(cfg.fused_conv_bn, cfg.compute_dtype)
+    stem = resolve_stem_impl(cfg.stem_pool, cfg.compute_dtype)
     k = cfg.model_kind
     if k == "one_bin_delta":
-        return OneBinDeltaModel(**common, num_clusters=cfg.dict_size, ndim=cfg.ndim)
+        return OneBinDeltaModel(
+            **common, num_clusters=cfg.dict_size, ndim=cfg.ndim,
+            fused_bn=fused, stem_pool=stem,
+        )
     if k == "one_delta_per_bin":
         return OneDeltaPerBinModel(
-            **common, num_clusters=cfg.dict_size, N3=cfg.N3, ndim=cfg.ndim
+            **common, num_clusters=cfg.dict_size, N3=cfg.N3, ndim=cfg.ndim,
+            fused_bn=fused, stem_pool=stem,
         )
     if k == "probabilistic":
         return ProbabilisticOneDeltaPerBinModel(
-            **common, num_clusters=cfg.dict_size, N3=cfg.N3, ndim=cfg.ndim
+            **common, num_clusters=cfg.dict_size, N3=cfg.N3, ndim=cfg.ndim,
+            fused_bn=fused, stem_pool=stem,
         )
     if k == "per_class_regression":
         return PerClassRegressionModel(

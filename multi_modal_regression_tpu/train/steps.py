@@ -31,17 +31,26 @@ from multi_modal_regression_tpu.train.state import TrainState
 ApplyFn = Callable[..., Any]
 
 
-def _preprocess(batch: dict, resize_to: int | None) -> jax.Array:
+def _preprocess(batch: dict, resize_to: int | None, dtype=None) -> jax.Array:
     """uint8 batch -> normalized images; with resize_to set, raw-size
     images are bilinear-resized ON DEVICE first (ops.augment — the loaders
     then skip the host PIL resize). Flips are applied by the caller AFTER
     normalization (they commute with per-channel scaling), keeping the
-    Pallas fused-normalize fast path in use."""
+    Pallas fused-normalize fast path in use.
+
+    `dtype` emits the normalized images directly in the model's compute
+    dtype: producing f32 and casting in the backbone costs the stem conv a
+    double-width read plus a materialized cast pass (xplane, round 2)."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
     if resize_to is not None:
         from multi_modal_regression_tpu.ops.augment import device_preprocess
 
-        return device_preprocess(batch["xdata"], out_size=resize_to)
-    return normalize_images(batch["xdata"])
+        return device_preprocess(
+            batch["xdata"], out_size=resize_to
+        ).astype(dtype)
+    return normalize_images(batch["xdata"], dtype=dtype)
 
 
 def make_train_step(
@@ -53,6 +62,7 @@ def make_train_step(
     axis_name: str | None = None,
     resize_to: int | None = None,
     random_flip: bool = False,
+    compute_dtype=None,
 ):
     """Build a jit-able train step for (model, problem, optimizer, phase).
 
@@ -76,7 +86,7 @@ def make_train_step(
     def train_step(state: TrainState, batch: dict):
         rng = state.rng
         euler = batch["euler"]
-        images = _preprocess(batch, resize_to)
+        images = _preprocess(batch, resize_to, compute_dtype)
         if random_flip:
             from multi_modal_regression_tpu.ops.augment import (
                 flip_images,
@@ -145,7 +155,8 @@ def make_train_step(
 
 
 def make_eval_step(
-    apply_fn: ApplyFn, problem: Problem, resize_to: int | None = None
+    apply_fn: ApplyFn, problem: Problem, resize_to: int | None = None,
+    compute_dtype=None,
 ):
     """Build a jit-able eval step: batch -> (ypred, ytrue) on device.
 
@@ -155,7 +166,7 @@ def make_eval_step(
     """
 
     def eval_step(state: TrainState, batch: dict):
-        images = _preprocess(batch, resize_to)
+        images = _preprocess(batch, resize_to, compute_dtype)
         if "euler" in batch:
             y = euler_to_pose(batch["euler"], problem.ydata_type)
         else:

@@ -81,6 +81,9 @@ class Trainer:
         self.apply_fn = make_apply_fn(self.model, config)
 
         resize_to = config.image_size if config.device_resize_from else None
+        cdtype = (
+            jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
+        )
         self._train_steps = {
             phase: jax.jit(
                 make_train_step(
@@ -89,13 +92,17 @@ class Trainer:
                     alpha=config.alpha if phase == "main" else config.warmup_alpha,
                     resize_to=resize_to,
                     random_flip=config.train_flip,
+                    compute_dtype=cdtype,
                 ),
                 donate_argnums=(0,),
             )
             for phase in ("warmup", "main")
         }
         self._eval_step = jax.jit(
-            make_eval_step(self.apply_fn, self.problem, resize_to=resize_to)
+            make_eval_step(
+                self.apply_fn, self.problem, resize_to=resize_to,
+                compute_dtype=cdtype,
+            )
         )
         from multi_modal_regression_tpu.utils.metrics_writer import MetricsWriter
 

@@ -1,0 +1,222 @@
+"""Fused conv+BN path (ops/fused_conv_bn.py) vs the flax reference path.
+
+The Pallas kernel itself is validated in interpret mode (same Mosaic-level
+program, CPU-executable); block/model-level equivalence uses the 'xla'
+impl — identical math through the same custom-VJP plumbing — so the tests
+cover the gradient routing through batch statistics, the running-stat
+updates, and checkpoint-tree compatibility without TPU hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_modal_regression_tpu.models.backbones import BottleneckBlock
+from multi_modal_regression_tpu.ops import fused_conv_bn as fcb
+
+
+def _rand(rng, shape, dtype=jnp.bfloat16, scale=1.0):
+    return jnp.asarray(rng.standard_normal(shape) * scale, dtype)
+
+
+class TestKernel:
+    def test_forward_matches_reference_interpret(self):
+        rng = np.random.default_rng(0)
+        x = _rand(rng, (700, 64))  # non-tile-aligned M exercises masking
+        w = _rand(rng, (64, 96), jnp.float32, 0.1)
+        a = jnp.asarray(rng.uniform(0.5, 2.0, 64), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(64) * 0.1, jnp.float32)
+        y_i, s_i = fcb.linear_bn_stats(x, a, b, w, True, "interpret")
+        y_r, s_r = fcb._mm_reference(x, w, jnp.stack([a, b]), True)
+        np.testing.assert_array_equal(
+            np.asarray(y_i, np.float32), np.asarray(y_r, np.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_i), np.asarray(s_r), rtol=1e-5, atol=1e-3
+        )
+
+    def test_plain_forward_matches_reference_interpret(self):
+        rng = np.random.default_rng(1)
+        x = _rand(rng, (512, 128))
+        w = _rand(rng, (128, 64), jnp.float32, 0.1)
+        y_i, s_i = fcb.linear_stats(x, w, "interpret")
+        y_r, s_r = fcb._mm_reference(x, w, None, False)
+        np.testing.assert_array_equal(
+            np.asarray(y_i, np.float32), np.asarray(y_r, np.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_i), np.asarray(s_r), rtol=1e-5, atol=1e-3
+        )
+
+    def test_gradients_match_composite_autodiff(self):
+        """custom-VJP grads == autodiff of the equivalent composite,
+        including the gradient paths through the (sum, sumsq) outputs."""
+        rng = np.random.default_rng(2)
+        x = _rand(rng, (320, 64))
+        w = _rand(rng, (64, 48), jnp.float32, 0.2)
+        a = jnp.asarray(rng.uniform(0.5, 2.0, 64), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(64) * 0.1, jnp.float32)
+
+        def downstream(y, s):
+            mean, var = fcb.stats_to_moments(s, y.shape[0])
+            z = (y.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
+            return jnp.sum(jnp.tanh(z) ** 2) + 0.1 * jnp.sum(mean**2)
+
+        def loss_ref(x, a, b, w):
+            # bf16 prologue: same dtype discipline as the fused impls (and
+            # as flax BatchNorm's dtype=bf16 normalize)
+            zb = x * a.astype(x.dtype) + b.astype(x.dtype)
+            xh = jnp.maximum(zb, jnp.zeros((), zb.dtype))
+            y = jnp.dot(
+                xh, w.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            yf = y.astype(jnp.float32)
+            s = jnp.stack([yf.sum(0), (yf * yf).sum(0)])
+            return downstream(y, s)
+
+        def loss_fused(x, a, b, w):
+            y, s = fcb.linear_bn_stats(x, a, b, w, True, "xla")
+            return downstream(y, s)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, a, b, w)
+        g_fus = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, a, b, w)
+        for gr, gf in zip(g_ref, g_fus):
+            gr = np.asarray(gr, np.float32)
+            gf = np.asarray(gf, np.float32)
+            denom = max(np.abs(gr).max(), 1e-6)
+            # the custom backward runs its matmuls in bf16 while composite
+            # autodiff keeps some f32 intermediates: bf16-level agreement
+            assert np.abs(gr - gf).max() / denom < 6e-2
+
+    def test_conv1x1_strided_matches_lax_conv(self):
+        rng = np.random.default_rng(3)
+        x = _rand(rng, (2, 8, 8, 16))
+        w = _rand(rng, (1, 1, 16, 32), jnp.float32, 0.2)
+        y, _ = fcb.conv1x1_bn_stats(x, w, None, stride=2, impl="xla")
+        y_ref = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (2, 2),
+            ((0, 0), (0, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
+            rtol=0.05, atol=0.05,
+        )
+
+
+class TestFusedBlock:
+    @pytest.fixture(scope="class")
+    def blocks(self):
+        kw = dict(features=8, stride=2, dtype=jnp.bfloat16)
+        ref = BottleneckBlock(**kw)
+        fus = BottleneckBlock(**kw, fused="xla")
+        x = _rand(np.random.default_rng(4), (16, 8, 8, 16), scale=0.5)
+        variables = ref.init(jax.random.PRNGKey(0), x, train=False)
+        return ref, fus, x, variables
+
+    def test_param_tree_identical(self, blocks):
+        ref, fus, x, variables = blocks
+        v2 = fus.init(jax.random.PRNGKey(0), x, train=False)
+        assert jax.tree_util.tree_structure(
+            variables
+        ) == jax.tree_util.tree_structure(v2)
+        for (p1, a1), (p2, a2) in zip(
+            jax.tree_util.tree_leaves_with_path(variables),
+            jax.tree_util.tree_leaves_with_path(v2),
+        ):
+            assert p1 == p2 and a1.shape == a2.shape and a1.dtype == a2.dtype
+
+    def test_train_forward_and_stats_match(self, blocks):
+        ref, fus, x, variables = blocks
+        y_ref, mut_ref = ref.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        y_fus, mut_fus = fus.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_ref, np.float32), np.asarray(y_fus, np.float32),
+            rtol=0.1, atol=0.08,
+        )
+        for (p1, s_ref), (_, s_fus) in zip(
+            jax.tree_util.tree_leaves_with_path(mut_ref["batch_stats"]),
+            jax.tree_util.tree_leaves_with_path(mut_fus["batch_stats"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(s_ref), np.asarray(s_fus), rtol=0.05, atol=0.02,
+                err_msg=str(p1),
+            )
+
+    def test_eval_forward_matches(self, blocks):
+        ref, fus, x, variables = blocks
+        y_ref = ref.apply(variables, x, train=False)
+        y_fus = fus.apply(variables, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(y_ref, np.float32), np.asarray(y_fus, np.float32),
+            rtol=0.1, atol=0.05,
+        )
+
+    def test_gradients_match(self, blocks):
+        ref, fus, x, variables = blocks
+
+        def loss(mod, params):
+            y, _ = mod.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.mean(y.astype(jnp.float32) ** 2)
+
+        g_ref = jax.grad(lambda p: loss(ref, p))(variables["params"])
+        g_fus = jax.grad(lambda p: loss(fus, p))(variables["params"])
+        for (p1, a1), (_, a2) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_fus),
+        ):
+            a1 = np.asarray(a1, np.float32)
+            a2 = np.asarray(a2, np.float32)
+            denom = max(np.abs(a1).max(), 1e-5)
+            # routing bugs give O(1) mismatches; bf16-ordering noise on the
+            # small random block stays well under this
+            assert np.abs(a1 - a2).max() / denom < 0.25, p1
+
+
+class TestFusedModelEndToEnd:
+    def test_train_step_loss_matches_unfused(self):
+        from multi_modal_regression_tpu.dictionary.kmeans import KMeansDictionary
+        from multi_modal_regression_tpu.train import Trainer, get_config
+        from multi_modal_regression_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(0)
+        centers = (0.8 * rng.standard_normal((16, 3))).astype(np.float32)
+        batch = {
+            "xdata": rng.integers(0, 256, (24, 32, 32, 3), np.uint8),
+            "euler": rng.uniform(-90, 90, (24, 3)).astype(np.float32),
+            "label": (np.arange(24) % 12).astype(np.int32),
+        }
+        losses = {}
+        for mode in (None, "xla"):
+            cfg = get_config(
+                "geodesic_bd", image_size=32, items_per_batch=2,
+                dict_size=16, compute_dtype="bfloat16", fused_conv_bn=mode,
+            )
+            trainer = Trainer(
+                cfg, dictionary=KMeansDictionary(cluster_centers=centers),
+                mesh=make_mesh(jax.devices()[:1]),
+            )
+            state = trainer.init_state(0)
+            step = trainer.train_step_fn("main")
+            sb = trainer.shard_batch(dict(batch))
+            state, metrics = step(state, sb)
+            # first-step losses agree to bf16-trajectory level; training
+            # steps beyond the first diverge chaotically from rounding
+            # differences (folded vs centered BN affine) at scratch init,
+            # so only the single-step loss is a meaningful comparison
+            losses[mode] = float(metrics["loss"])
+            for _ in range(2):
+                state, m2 = step(state, sb)
+            assert np.isfinite(float(m2["loss"]))
+        assert np.isfinite(losses[None]) and np.isfinite(losses["xla"])
+        assert abs(losses[None] - losses["xla"]) < 0.10 * (
+            abs(losses[None]) + 1e-3
+        )
