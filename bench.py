@@ -27,7 +27,9 @@ ESTIMATED_REFERENCE_IMG_PER_SEC = 610.0  # see module docstring / BASELINE.md
 BATCH = 96  # 2 loaders x 4 items x 12 classes (learnGeodesicBDModel.py:78-79)
 IMAGE_SIZE = 224
 WARMUP_STEPS = 3
-MEASURE_STEPS = 20
+# 40 steps amortize the tunnel's fixed per-run dispatch cost (~1.5 ms/step
+# at 20 steps vs the 39.7 ms xplane device time) into the steady state
+MEASURE_STEPS = 40
 
 
 def main() -> None:

@@ -94,6 +94,9 @@ class ExperimentConfig:
     eval_every: int = 1000
     seed: int = 0
     compute_dtype: str = "float32"  # 'bfloat16' for the TPU fast path
+    # 'bfloat16' stores Adam's first moment in bf16 (see build_optimizer);
+    # 'float32' (default) matches the reference exactly
+    optimizer_dtype: str = "float32"
     # fused conv+BN training path for bottleneck ResNets (ops.fused_conv_bn):
     # 'auto' = Pallas kernels when on TPU with bfloat16 compute, else off;
     # 'pallas'|'xla'|'interpret' force an impl; None/'off' = flax modules
@@ -266,7 +269,14 @@ def build_problem(cfg: ExperimentConfig, dictionary: Any = None) -> Problem:
 
 
 def build_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
-    tx = optax.adam(cfg.init_lr)
+    # optimizer_dtype='bfloat16' stores Adam's first moment in bf16
+    # (optax mu_dtype), cutting ~0.7 GB/step of optimizer-state HBM traffic
+    # on the 88 M-param flagship; the update math still runs in f32.
+    # Default f32 matches the reference's torch.optim.Adam exactly.
+    mu_dtype = (
+        jnp.bfloat16 if cfg.optimizer_dtype == "bfloat16" else None
+    )
+    tx = optax.adam(cfg.init_lr, mu_dtype=mu_dtype)
     if cfg.train_only is not None:
         # freeze everything outside the named top-level param collections
         # (learnCatGivenPoseModel.py:108-126 trains only the new fc)

@@ -207,3 +207,27 @@ def test_restore_checkpoint_without_rng_field(dataset, centers, tmp_path):
         jax.device_get(restored.params), old["params"],
     )
     assert restored.rng is not None
+
+
+def test_bf16_optimizer_dtype_trains():
+    """optimizer_dtype='bfloat16' stores Adam's mu in bf16 and still
+    produces finite, decreasing-ish losses."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_modal_regression_tpu.train.presets import (
+        build_optimizer,
+        get_config,
+    )
+
+    cfg = get_config("geodesic_bd", optimizer_dtype="bfloat16")
+    tx = build_optimizer(cfg)
+    params = {"w": jnp.ones((8, 8))}
+    state = tx.init(params)
+    mu = state[0].mu["w"]
+    assert mu.dtype == jnp.bfloat16
+    g = {"w": jnp.full((8, 8), 0.1)}
+    for _ in range(3):
+        updates, state = tx.update(g, state, params)
+        params = {"w": params["w"] + updates["w"]}
+    assert bool(jnp.isfinite(params["w"]).all())
