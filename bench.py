@@ -88,6 +88,11 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     images_per_sec = MEASURE_STEPS * BATCH / dt
+    # the exact-BN bandwidth floor for this config is ~23 GB/step on the
+    # 819 GB/s v5e HBM => ~3350 img/s at 100% efficiency (BASELINE.md
+    # round-2 analysis); report the fraction attained alongside the
+    # fixed-estimate ratio
+    BANDWIDTH_FLOOR_IMG_PER_SEC = 3350.0
     print(
         json.dumps(
             {
@@ -96,6 +101,9 @@ def main() -> None:
                 "unit": "images/sec/chip",
                 "vs_baseline": round(
                     images_per_sec / ESTIMATED_REFERENCE_IMG_PER_SEC, 3
+                ),
+                "fraction_of_bandwidth_floor": round(
+                    images_per_sec / BANDWIDTH_FLOOR_IMG_PER_SEC, 3
                 ),
             }
         )

@@ -1,11 +1,16 @@
-"""Fused 1x1-conv + BatchNorm Pallas kernels (the round-2 perf lever).
+"""Fused conv + BatchNorm Pallas kernels (opt-in; see BASELINE.md round 2).
 
-The geodesic_bd train step is HBM-bandwidth-bound: the xplane roofline
-(BASELINE.md) shows ~70% of step time in bandwidth-bound convolution
-fusions, dominated by the BatchNorm statistic/normalize passes XLA fuses
-around every ResNet conv (featureModels.py:11-41 is the reference
-workload; the reference runs the same convs through cuDNN with separate
-BatchNorm kernels).
+The geodesic_bd train step is HBM-bandwidth-bound (the reference workload
+is featureModels.py:11-41; the reference runs the convs through cuDNN with
+separate BatchNorm kernels). These kernels fuse the BN statistic and
+normalize passes into the convolutions' own input/output passes and each
+runs AT its HBM roofline — but the full step measures SLOWER than stock
+XLA, whose conv mega-fusions already fold the same work in while the
+custom-call boundaries here stop XLA from fusing the remaining elementwise
+glue. The path is therefore a tested OPT-IN (`fused_conv_bn='pallas'`,
+single chip); config 'auto' resolves to off. Kept as validated
+infrastructure + measurement methodology for future bytes-reduction work
+(pixel packing, whole-block megakernels).
 
 This module fuses, for the 1x1 convolutions of ResNet bottleneck blocks
 (backbones.py BottleneckBlock conv1/conv3/downsample):
@@ -785,17 +790,14 @@ def _c3_fwd(x, wf, ab, relu: bool, bt: int, interpret: bool = False):
         pl.BlockSpec((3, 3 * c, cout), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    # ab is always provided (the public wrapper stacks identity affines
+    # for the no-prologue case)
     args = [x, wf]
-    if ab is not None:
-        in_specs.append(
-            pl.BlockSpec((2, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        )
-        args.append(ab)
-        body = kernel
-    else:
-        body = lambda x_ref, wf_ref, y_ref, s_ref, zbuf, acc_ref: kernel(
-            x_ref, wf_ref, None, y_ref, s_ref, zbuf, acc_ref
-        )
+    in_specs.append(
+        pl.BlockSpec((2, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    args.append(ab)
+    body = kernel
     y, s = pl.pallas_call(
         body,
         grid=grid,
