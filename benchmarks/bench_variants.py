@@ -5,7 +5,7 @@ heads, the tensor-parallelism-motivating config in SCALING.md) and the
 quaternion BD variant, same protocol as bench.py (chained donated state,
 final D2H scalar as the sync).
 
-Usage: python benchmarks/bench_variants.py [preset ...]
+Usage: python benchmarks/bench_variants.py [--batch N] [preset ...]
 """
 
 import json
@@ -23,7 +23,7 @@ WARMUP = 3
 MEASURE = 20
 
 
-def bench_preset(preset: str, **overrides):
+def bench_preset(preset: str, bsz: int = BATCH, **overrides):
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +34,7 @@ def bench_preset(preset: str, **overrides):
 
     rng = np.random.default_rng(0)
     cfg = get_config(
-        preset, image_size=IMAGE_SIZE, items_per_batch=BATCH // 12,
+        preset, image_size=IMAGE_SIZE, items_per_batch=bsz // 12,
         compute_dtype="bfloat16", **overrides,
     )
     # dictionaries are axis-angle (K, 3) for every preset; the quaternion
@@ -59,10 +59,10 @@ def bench_preset(preset: str, **overrides):
     state = create_train_state(variables, trainer.tx)
     batch = trainer.shard_batch({
         "xdata": rng.integers(
-            0, 256, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), np.uint8
+            0, 256, (bsz, IMAGE_SIZE, IMAGE_SIZE, 3), np.uint8
         ),
-        "euler": rng.uniform(-90, 90, (BATCH, 3)).astype(np.float32),
-        "label": (np.arange(BATCH) % 12).astype(np.int32),
+        "euler": rng.uniform(-90, 90, (bsz, 3)).astype(np.float32),
+        "label": (np.arange(bsz) % 12).astype(np.int32),
     })
     step_fn = trainer.train_step_fn("main")
     for _ in range(WARMUP):
@@ -75,19 +75,23 @@ def bench_preset(preset: str, **overrides):
     dt = time.perf_counter() - t0
     return {
         "preset": preset,
+        "batch": bsz,
         "params_millions": round(n_params / 1e6, 1),
-        "images_per_sec_chip": round(MEASURE * BATCH / dt, 1),
+        "images_per_sec_chip": round(MEASURE * bsz / dt, 1),
         "ms_per_step": round(dt / MEASURE * 1e3, 1),
     }
 
 
 def main():
-    presets = sys.argv[1:] or [
-        "geodesic_bd_quaternion", "geodesic_bd_multires"
-    ]
+    argv = sys.argv[1:]
+    batch = BATCH
+    if argv and argv[0] == "--batch":
+        batch = int(argv[1])
+        argv = argv[2:]
+    presets = argv or ["geodesic_bd_quaternion", "geodesic_bd_multires"]
     for preset in presets:
         try:
-            print(json.dumps(bench_preset(preset)), flush=True)
+            print(json.dumps(bench_preset(preset, bsz=batch)), flush=True)
         except Exception as e:  # keep going; record the failure
             print(json.dumps({"preset": preset, "error": str(e)[:300]}),
                   flush=True)
