@@ -19,10 +19,13 @@ stride-2 3-windows reduce to a pair-max (free outer-dim reshape) plus one
 rolled previous-odd-row max; the W axis is handled identically after an
 in-VMEM transpose. Padding contributes zeros, which is exact here because
 the pool input is post-ReLU (all values >= 0) and no 3x3 window is fully
-padding. The backward routes gradients by VALUE EQUALITY against the
-recomputed pooled maxima: positive ties (rare in bf16) receive the
-gradient at every tied position, unlike torch's first-index routing; zero
-maxima route nowhere because the ReLU mask multiplies afterwards.
+padding. The backward routes gradients by value equality against the
+recomputed pooled maxima with FIRST-MATCH tie-breaking along each axis
+(matching select_and_scatter's scan order per axis); the only residual
+deviation is a positive bf16 tie appearing in two different window
+columns, where the factorized column-then-row order can pick a different
+— equally valid — argmax than the row-major scan. Zero maxima route
+nowhere because the ReLU mask multiplies afterwards.
 
 Gradient checks against the XLA composite (lax.reduce_window +
 autodiff select_and_scatter) are in tests/test_stem_pool.py.
