@@ -130,21 +130,38 @@ def _classes_from_args(args):
     return PASCAL3D_CLASSES
 
 
-def _make_test_loader(args, cfg, classes, load_size):
+def _make_test_loader(args, cfg, classes, load_size,
+                      host_count: int = 1, host_index: int = 0):
     from multi_modal_regression_tpu.data import FlatTestIndex, MatCropIndex, TestLoader
     from multi_modal_regression_tpu.data.loader import MatCropLoader
 
+    hosts = dict(host_count=host_count, host_index=host_index)
     root = Path(args.data_root)
     if getattr(args, "test_protocol", "filenames") == "mat":
         mat_root = args.mat_root or str(root / "original")
         return MatCropLoader(
             MatCropIndex(mat_root, args.mat_split, classes=classes),
-            batch_size=cfg.eval_batch, num_workers=args.num_workers,
+            batch_size=cfg.eval_batch,
+            # evaluate at the resolution the experiment trains at — the
+            # .mat crops are whatever the prep wrote (224); a config with
+            # --image-size 112 must not silently evaluate at 224
+            image_size=cfg.image_size,
+            num_workers=args.num_workers, **hosts,
         )
     return TestLoader(
         FlatTestIndex(str(root / args.test_subdir), classes=classes),
-        cfg.eval_batch, load_size, num_workers=args.num_workers,
+        cfg.eval_batch, load_size, num_workers=args.num_workers, **hosts,
     )
+
+
+def _add_distributed_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host SPMD: call jax.distributed.initialize "
+                        "and stride the input pipeline per host (run this "
+                        "command on every host)")
+    p.add_argument("--coordinator-address", type=str, default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
 
 
 def _maybe_init_distributed(args) -> tuple[int, int]:
@@ -188,7 +205,9 @@ def _make_loaders(args, cfg, host_count: int = 1, host_index: int = 0):
             batch_size=cfg.items_per_batch * 12, image_size=load_size,
             num_workers=args.num_workers, seed=cfg.seed, **hosts,
         )
-        return train, None, _make_test_loader(args, cfg, classes, load_size)
+        return train, None, _make_test_loader(
+            args, cfg, classes, load_size, host_count, host_index
+        )
     # --train-data selects real/render/both (the ablationGBDAugmentation.py
     # --type protocol; 'both' is the standard two-loader training)
     which = getattr(args, "train_data", "both")
@@ -211,7 +230,9 @@ def _make_loaders(args, cfg, host_count: int = 1, host_index: int = 0):
         )
     if real is None:  # render-only: it drives the loop
         real, render = render, None
-    return real, render, _make_test_loader(args, cfg, classes, load_size)
+    return real, render, _make_test_loader(
+        args, cfg, classes, load_size, host_count, host_index
+    )
 
 
 def cmd_train(args) -> int:
@@ -303,6 +324,10 @@ def _warm_start(trainer, state, args):
 
 
 def cmd_evaluate(args) -> int:
+    # the 9-epoch fine-tune protocol costs as much as training — it gets
+    # the same multi-host sharding (initialize BEFORE any backend use)
+    host_count, host_index = _maybe_init_distributed(args)
+
     from multi_modal_regression_tpu.train import SnapshotEnsembleEvaluator, Trainer
 
     cfg = _config_from_args(args)
@@ -310,10 +335,14 @@ def cmd_evaluate(args) -> int:
     trainer = Trainer(
         cfg, dictionary=_load_dictionary(args.dictionary), workdir=workdir
     )
-    real, render, test = _make_loaders(args, cfg)
+    real, render, test = _make_loaders(args, cfg, host_count, host_index)
     state = trainer.restore_checkpoint(args.checkpoint)
     ev = SnapshotEnsembleEvaluator(
-        trainer, workdir=Path(workdir) / f"results_{args.save_str}"
+        trainer,
+        workdir=(
+            Path(workdir) / f"results_{args.save_str}"
+            if host_index == 0 else None  # one writer per job
+        ),
     )
     ev.run(state, real, render, test, num_epochs=args.eval_num_epochs)
     med, _ = ev.ensemble()
@@ -327,6 +356,8 @@ def cmd_predict(args) -> int:
     """Pure inference from a checkpoint: GT test crops (the
     evaluateJointModel.py protocol) or detector crops
     (evaluateModelDetectedBBoxes.py) when --det-path is given."""
+    host_count, host_index = _maybe_init_distributed(args)
+
     import numpy as np
 
     from multi_modal_regression_tpu.train import Trainer
@@ -367,10 +398,12 @@ def cmd_predict(args) -> int:
         cfg.eval_batch,
         cfg.device_resize_from or cfg.image_size,
         num_workers=args.num_workers,
+        host_count=host_count, host_index=host_index,
     )
     ytrue, ypred, labels = trainer.predict(state, test)
     out = Path(workdir) / f"results_{args.save_str}.npz"
-    np.savez(out, ytest=ytrue, yhat_test=ypred, test_labels=labels)
+    if host_index == 0:  # predict() allgathers: every host has the full set
+        np.savez(out, ytest=ytrue, yhat_test=ypred, test_labels=labels)
     med = trainer.evaluate(state, test)
     if trainer.problem.metric == "pose":
         from multi_modal_regression_tpu.metrics import per_class_report
@@ -576,13 +609,7 @@ def main(argv=None) -> int:
     p_train.add_argument("--warm-start-checkpoint", type=str, default="final")
     p_train.add_argument("--warm-start-kind",
                          choices=("classifier", "oracle"), default="oracle")
-    p_train.add_argument("--distributed", action="store_true",
-                         help="multi-host SPMD: call jax.distributed."
-                              "initialize and stride the input pipeline "
-                              "per host (run this command on every host)")
-    p_train.add_argument("--coordinator-address", type=str, default=None)
-    p_train.add_argument("--num-processes", type=int, default=None)
-    p_train.add_argument("--process-id", type=int, default=None)
+    _add_distributed_args(p_train)
     _add_common_data_args(p_train)
     _add_config_overrides(p_train)
     p_train.set_defaults(fn=cmd_train)
@@ -592,6 +619,7 @@ def main(argv=None) -> int:
     p_eval.add_argument("--dictionary", type=str, default=None)
     p_eval.add_argument("--checkpoint", type=str, default="last")
     p_eval.add_argument("--eval-num-epochs", type=int, default=None)
+    _add_distributed_args(p_eval)
     _add_common_data_args(p_eval)
     _add_config_overrides(p_eval)
     p_eval.set_defaults(fn=cmd_evaluate)
@@ -606,6 +634,7 @@ def main(argv=None) -> int:
     p_pred.add_argument("--test-subdir", type=str, default="test")
     p_pred.add_argument("--num-workers", type=int, default=8)
     p_pred.add_argument("--dbinfo", type=str, default=None)
+    _add_distributed_args(p_pred)
     _add_config_overrides(p_pred)
     p_pred.set_defaults(fn=cmd_predict)
 

@@ -43,11 +43,18 @@ def decode_image(path: str, size: int = 224) -> np.ndarray:
 
 
 def normalize_images(x_uint8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """On-device (x/255 - mean)/std. Input (..., H, W, 3) uint8."""
-    x = x_uint8.astype(dtype) / np.float32(255.0)
-    mean = jnp.asarray(IMAGENET_MEAN, dtype)
-    std = jnp.asarray(IMAGENET_STD, dtype)
-    return (x - mean) / std
+    """On-device (x/255 - mean)/std. Input (..., H, W, 3) uint8.
+
+    The arithmetic stays f32 (XLA fuses the whole elementwise chain, so
+    intermediates cost nothing); only the OUTPUT array takes `dtype` — the
+    buffer dtype is what decides the stem conv's read width. The previous
+    form computed `x.astype(dtype) / np.float32(...)`, which numpy-scalar
+    promotion silently widened back to f32 for bf16 requests.
+    """
+    x = x_uint8.astype(jnp.float32) / np.float32(255.0)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return ((x - mean) / std).astype(dtype)
 
 
 def _prefetched(make_gen, num_workers: int, depth: int) -> Iterator:
@@ -252,13 +259,24 @@ class MatCropLoader:
         self,
         index,  # MatCropIndex
         batch_size: int = 96,
+        image_size: int | None = None,
         num_workers: int = 8,
         prefetch_depth: int = 2,
+        host_count: int = 1,
+        host_index: int = 0,
     ):
+        """image_size: resize the stored crops to this size (None keeps
+        whatever the .mat holds, 224 in the reference layout). Pass the
+        experiment's image size so the mat protocol evaluates at the SAME
+        resolution the model trains at. host_count/host_index stride the
+        per-image .mat files across hosts (multi-host predict)."""
         self.index = index
         self.batch_size = batch_size
+        self.image_size = image_size
         self.num_workers = num_workers
         self.prefetch_depth = prefetch_depth
+        self.host_count = host_count
+        self.host_index = host_index
 
     def _load(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         import scipy.io as spio
@@ -267,6 +285,15 @@ class MatCropLoader:
             self.index.path(i), verify_compressed_data_integrity=False
         )
         x = np.asarray(tmp["xdata"], np.uint8)
+        size = self.image_size
+        if size is not None and x.shape[1:3] != (size, size):
+            x = np.stack([
+                np.asarray(
+                    Image.fromarray(c).resize((size, size), Image.BILINEAR),
+                    np.uint8,
+                )
+                for c in x
+            ])
         y = np.asarray(tmp["ydata"], np.float32).reshape(len(x), -1)
         lab = np.full(len(x), self.index.labels[i], np.int32)
         return x, y, lab
@@ -274,7 +301,9 @@ class MatCropLoader:
     def _gen(self, pool: cf.Executor) -> Iterator[dict]:
         buf_x, buf_y, buf_l = [], [], []
         count = 0
-        for x, y, lab in pool.map(self._load, range(len(self.index))):
+        for x, y, lab in pool.map(
+            self._load, range(self.host_index, len(self.index), self.host_count)
+        ):
             buf_x.append(x)
             buf_y.append(y)
             buf_l.append(lab)
@@ -325,20 +354,31 @@ class TestLoader:
         image_size: int = 224,
         num_workers: int = 8,
         prefetch_depth: int = 2,
+        host_count: int = 1,
+        host_index: int = 0,
     ):
+        """host_count/host_index: multi-host striding — each host reads the
+        disjoint image stride host_index::host_count (the per-host shard of
+        the test set; Trainer._predict_multihost gathers the strides)."""
         self.index = index
         self.batch_size = batch_size
         self.image_size = image_size
         self.num_workers = num_workers
         self.prefetch_depth = prefetch_depth
+        self.host_count = host_count
+        self.host_index = host_index
+
+    def _ids(self) -> np.ndarray:
+        return np.arange(len(self.index))[self.host_index :: self.host_count]
 
     def __len__(self) -> int:
-        return -(-len(self.index) // self.batch_size)
+        return -(-len(self._ids()) // self.batch_size)
 
     def _gen(self, pool: cf.Executor) -> Iterator[dict]:
-        n = len(self.index)
+        all_ids = self._ids()
+        n = len(all_ids)
         for start in range(0, n, self.batch_size):
-            ids = np.arange(start, min(start + self.batch_size, n))
+            ids = all_ids[start : start + self.batch_size]
             images = list(
                 pool.map(
                     lambda i: decode_image(self.index.path(int(i)), self.image_size),

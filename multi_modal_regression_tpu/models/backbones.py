@@ -233,7 +233,6 @@ class BottleneckBlock(nn.Module):
         m1, v1 = stats_to_moments(s1, y1.shape[0] * y1.shape[1] * y1.shape[2])
         sc1, bi1, _, _ = bn1(m1, v1)
         a1, b1 = fold_bn(m1, v1, sc1, bi1)
-        count2 = (y1.shape[0] * y1.shape[1] * y1.shape[2]) // self.stride**2
         if self.stride == 1:
             # fused 3x3: bn1+relu applied in the input pass, stats in the
             # output pass (falls back internally if VMEM would not fit)
@@ -251,6 +250,11 @@ class BottleneckBlock(nn.Module):
                 jnp.sum(y2f, axis=(0, 1, 2)),
                 jnp.sum(y2f * y2f, axis=(0, 1, 2)),
             ])
+        # BN element count from the ACTUAL output shape: dividing the input
+        # count by stride**2 undercounts when the input spatial dims are odd
+        # (e.g. 25x25 stride 2 -> 13x13 = 169, not 625//4 = 156), skewing
+        # mean/var at those stages; conv3/downsample share conv2's dims
+        count2 = y2.shape[0] * y2.shape[1] * y2.shape[2]
         m2, v2 = stats_to_moments(s2, count2)
         sc2, bi2, _, _ = bn2(m2, v2)
         ab2 = fold_bn(m2, v2, sc2, bi2)

@@ -649,8 +649,12 @@ def _c3_kernel(
         )
     yb = acc.astype(y_ref.dtype)
     y_ref[...] = yb.reshape(bt, h, wd, cout)
-    acc_ref[0:1, :] += jnp.sum(acc, axis=0, keepdims=True)
-    acc_ref[1:2, :] += jnp.sum(acc * acc, axis=0, keepdims=True)
+    # stats from the ROUNDED output (what downstream sees) — matching
+    # _mm_kernel, _c3_reference, and the backward's use of the rounded y_ref
+    # in the stats cotangent
+    yf = yb.astype(jnp.float32)
+    acc_ref[0:1, :] += jnp.sum(yf, axis=0, keepdims=True)
+    acc_ref[1:2, :] += jnp.sum(yf * yf, axis=0, keepdims=True)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():

@@ -109,20 +109,23 @@ class SnapshotEnsembleEvaluator:
         # c = 2 * len(real_loader) (evaluateGeodesicBDModel.py:94)
         c = self.cycle_len or 2 * len(real_loader)
         tx = cyclical_sgd(c, cfg.eval_alpha1, cfg.eval_alpha2)
+        import jax.numpy as jnp
+
+        cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         step_fn = jax.jit(
             make_train_step(
                 self.trainer.apply_fn, self.trainer.problem, tx,
                 phase="main", alpha=cfg.alpha,
-                # same input contract as training (device resize / flips)
+                # same input contract as training (device resize / flips /
+                # compute dtype — trainer.py builds its steps identically)
                 resize_to=cfg.image_size if cfg.device_resize_from else None,
                 random_flip=cfg.train_flip,
+                compute_dtype=cdtype,
             ),
             donate_argnums=(0,),
         )
         # fresh optimizer state + reset balance scalar (the reference
         # fine-tune starts with s = 0, evaluateGeodesicBDModel.py)
-        import jax.numpy as jnp
-
         state = state.replace(
             opt_state=tx.init(state.params),
             step=state.step * 0,

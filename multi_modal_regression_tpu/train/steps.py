@@ -47,9 +47,10 @@ def _preprocess(batch: dict, resize_to: int | None, dtype=None) -> jax.Array:
     if resize_to is not None:
         from multi_modal_regression_tpu.ops.augment import device_preprocess
 
-        return device_preprocess(
-            batch["xdata"], out_size=resize_to
-        ).astype(dtype)
+        # dtype goes through device_preprocess so the normalize emits the
+        # compute dtype directly — an .astype() here would retain the
+        # double-width write + materialized cast pass this path avoids
+        return device_preprocess(batch["xdata"], out_size=resize_to, dtype=dtype)
     return normalize_images(batch["xdata"], dtype=dtype)
 
 

@@ -319,7 +319,15 @@ class Trainer:
     def predict(
         self, state: TrainState, test_loader: TestLoader
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(ytrue, ypred, labels) over the full test set (valid rows only)."""
+        """(ytrue, ypred, labels) over the full test set (valid rows only).
+
+        Multi-host: each process runs the eval step LOCALLY over its own
+        test-loader stride (host_count/host_index on the loader), then the
+        per-host results are process-allgathered so every host returns the
+        full-set arrays — the test pass scales across hosts like training.
+        """
+        if jax.process_count() > 1:
+            return self._predict_multihost(state, test_loader)
         preds, trues, labels = [], [], []
         for batch in test_loader:
             valid = batch.pop("valid")
@@ -332,6 +340,72 @@ class Trainer:
             np.concatenate(preds),
             np.concatenate(labels),
         )
+
+    def _predict_multihost(self, state, test_loader):
+        """Per-host local inference + process allgather.
+
+        The train state is replicated under data parallelism, so each
+        process holds a full addressable copy: fetch it once, pin it to the
+        first local device, and run the eval step as a process-local
+        computation over this host's test stride. (Tensor-parallel meshes
+        shard the head banks across hosts — a local copy does not exist;
+        predict then requires a single-host run of the checkpoint.)
+        """
+        from jax.experimental import multihost_utils
+
+        if "model" in self.mesh.axis_names:
+            raise NotImplementedError(
+                "multi-host predict needs replicated params; run predict "
+                "on a data-parallel mesh (tp checkpoints restore fine on "
+                "one host)"
+            )
+        dev = jax.local_devices()[0]
+        lstate = jax.device_put(jax.device_get(state), dev)
+        preds, trues, labels = [], [], []
+        for batch in test_loader:
+            valid = batch.pop("valid")
+            lbatch = jax.device_put(
+                {k: np.asarray(v) for k, v in batch.items()}, dev
+            )
+            ypred, ytrue = self._eval_step(lstate, lbatch)
+            preds.append(np.asarray(ypred)[valid])
+            trues.append(np.asarray(ytrue)[valid])
+            labels.append(np.asarray(batch["label"])[valid])
+        dims = (
+            trues[0].shape[1] if trues else
+            (4 if self.problem.ydata_type == "quaternion" else 3)
+        )
+        pdims = preds[0].shape[1] if preds else dims
+        local = {
+            "ytrue": np.concatenate(trues) if trues else np.zeros((0, dims), np.float32),
+            "ypred": np.concatenate(preds) if preds else np.zeros((0, pdims), np.float32),
+            "label": np.concatenate(labels) if labels else np.zeros((0,), np.int32),
+        }
+        n_local = len(local["label"])
+        counts = multihost_utils.process_allgather(
+            np.asarray([n_local], np.int64)
+        ).reshape(-1)
+        n_max = int(counts.max()) if len(counts) else 0
+
+        def _pad(a):
+            pad = n_max - len(a)
+            if pad:
+                a = np.concatenate([a, np.zeros((pad, *a.shape[1:]), a.dtype)])
+            return a
+
+        gathered = multihost_utils.process_allgather(
+            {k: _pad(np.asarray(v, np.float32 if v.ndim > 1 else v.dtype))
+             for k, v in local.items()},
+            tiled=False,
+        )
+        # unpad each host's block, concatenate in process order
+        out = {}
+        for k, g in gathered.items():
+            g = np.asarray(g)
+            out[k] = np.concatenate(
+                [g[p, : int(counts[p])] for p in range(len(counts))]
+            )
+        return out["ytrue"], out["ypred"], out["label"].astype(np.int32)
 
     def evaluate(self, state: TrainState, test_loader: TestLoader) -> float:
         """Headline metric: MedErr (get_error2 parity, axisAngle.py:70-95)

@@ -90,6 +90,111 @@ class TestKernel:
             # autodiff keeps some f32 intermediates: bf16-level agreement
             assert np.abs(gr - gf).max() / denom < 6e-2
 
+    def test_linear_bn_stats_backward_interpret_matches_xla(self):
+        """The Pallas backward kernel (_mm_stats_bwd, interpret mode) vs the
+        XLA composite backward — covers dx/dw/dab and the stats-cotangent
+        routing that only the 1x1 forward was exercising before."""
+        rng = np.random.default_rng(5)
+        x = _rand(rng, (320, 64))
+        w = _rand(rng, (64, 48), jnp.float32, 0.2)
+        a = jnp.asarray(rng.uniform(0.5, 2.0, 64), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(64) * 0.1, jnp.float32)
+
+        def downstream(y, s):
+            mean, var = fcb.stats_to_moments(s, y.shape[0])
+            z = (y.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
+            return jnp.sum(jnp.tanh(z) ** 2) + 0.1 * jnp.sum(mean**2)
+
+        def loss(impl, x, a, b, w):
+            y, s = fcb.linear_bn_stats(x, a, b, w, True, impl)
+            return downstream(y, s)
+
+        g_int = jax.grad(
+            lambda *args: loss("interpret", *args), argnums=(0, 1, 2, 3)
+        )(x, a, b, w)
+        g_xla = jax.grad(
+            lambda *args: loss("xla", *args), argnums=(0, 1, 2, 3)
+        )(x, a, b, w)
+        for gi, gx in zip(g_int, g_xla):
+            gi = np.asarray(gi, np.float32)
+            gx = np.asarray(gx, np.float32)
+            denom = max(np.abs(gx).max(), 1e-6)
+            assert np.abs(gi - gx).max() / denom < 6e-2
+
+    def test_linear_stats_backward_interpret_matches_xla(self):
+        rng = np.random.default_rng(6)
+        x = _rand(rng, (256, 128))
+        w = _rand(rng, (128, 64), jnp.float32, 0.2)
+
+        def loss(impl, x, w):
+            y, s = fcb.linear_stats(x, w, impl)
+            mean, var = fcb.stats_to_moments(s, y.shape[0])
+            z = (y.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
+            return jnp.sum(z**2) + jnp.sum(jnp.abs(mean))
+
+        g_int = jax.grad(lambda *a: loss("interpret", *a), argnums=(0, 1))(x, w)
+        g_xla = jax.grad(lambda *a: loss("xla", *a), argnums=(0, 1))(x, w)
+        for gi, gx in zip(g_int, g_xla):
+            gi = np.asarray(gi, np.float32)
+            gx = np.asarray(gx, np.float32)
+            denom = max(np.abs(gx).max(), 1e-6)
+            assert np.abs(gi - gx).max() / denom < 6e-2
+
+    @pytest.mark.parametrize("prologue", [True, False])
+    def test_conv3x3_forward_interpret_matches_reference(self, prologue):
+        """The fused stride-1 3x3 kernel (roll-based W patches, three MXU
+        dots) in interpret mode vs the XLA composite."""
+        rng = np.random.default_rng(7)
+        x = _rand(rng, (4, 10, 12, 16), scale=0.5)
+        w = _rand(rng, (3, 3, 16, 32), jnp.float32, 0.2)
+        if prologue:
+            a = jnp.asarray(rng.uniform(0.5, 2.0, 16), jnp.float32)
+            b = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+            ab = (a, b)
+        else:
+            ab = None
+        y_i, s_i = fcb.conv3x3_bn_stats(x, w, ab, relu=prologue,
+                                        impl="interpret")
+        y_r, s_r = fcb.conv3x3_bn_stats(x, w, ab, relu=prologue, impl="xla")
+        np.testing.assert_allclose(
+            np.asarray(y_i, np.float32), np.asarray(y_r, np.float32),
+            rtol=0.05, atol=0.05,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_i), np.asarray(s_r), rtol=5e-3, atol=0.5
+        )
+
+    @pytest.mark.parametrize("prologue", [True, False])
+    def test_conv3x3_gradients_interpret_match_xla(self, prologue):
+        """_c3_p_bwd's dw flip/remap and backward tile masking (interpret)
+        vs autodiff of the XLA composite, incl. the stats cotangents."""
+        rng = np.random.default_rng(8)
+        x = _rand(rng, (2, 8, 8, 16), scale=0.5)
+        w = _rand(rng, (3, 3, 16, 32), jnp.float32, 0.2)
+        a = jnp.asarray(rng.uniform(0.5, 2.0, 16), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+
+        def loss(impl, x, a, b, w):
+            ab = (a, b) if prologue else None
+            y, s = fcb.conv3x3_bn_stats(x, w, ab, relu=prologue, impl=impl)
+            n = y.shape[0] * y.shape[1] * y.shape[2]
+            mean, var = fcb.stats_to_moments(s, n)
+            z = (y.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
+            return jnp.sum(jnp.tanh(z) ** 2) + 0.1 * jnp.sum(mean**2)
+
+        argnums = (0, 1, 2, 3) if prologue else (0, 3)
+        g_int = jax.grad(
+            lambda *ar: loss("interpret", *ar), argnums=argnums
+        )(x, a, b, w)
+        g_xla = jax.grad(
+            lambda *ar: loss("xla", *ar), argnums=argnums
+        )(x, a, b, w)
+        for gi, gx in zip(g_int, g_xla):
+            gi = np.asarray(gi, np.float32)
+            gx = np.asarray(gx, np.float32)
+            denom = max(np.abs(gx).max(), 1e-6)
+            assert np.abs(gi - gx).max() / denom < 6e-2
+
     def test_conv1x1_strided_matches_lax_conv(self):
         rng = np.random.default_rng(3)
         x = _rand(rng, (2, 8, 8, 16))
@@ -156,6 +261,34 @@ class TestFusedBlock:
             np.asarray(y_ref, np.float32), np.asarray(y_fus, np.float32),
             rtol=0.1, atol=0.05,
         )
+
+    def test_train_stats_match_at_odd_spatial_dims(self):
+        """Strided block on odd input dims (9x9 -> 5x5): the BN element
+        count must come from the actual output shape (81//4=20 != 25 would
+        skew mean/var by ~20% here)."""
+        kw = dict(features=8, stride=2, dtype=jnp.bfloat16)
+        ref = BottleneckBlock(**kw)
+        fus = BottleneckBlock(**kw, fused="xla")
+        x = _rand(np.random.default_rng(9), (4, 9, 9, 16), scale=0.5)
+        variables = ref.init(jax.random.PRNGKey(0), x, train=False)
+        y_ref, mut_ref = ref.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        y_fus, mut_fus = fus.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_ref, np.float32), np.asarray(y_fus, np.float32),
+            rtol=0.1, atol=0.08,
+        )
+        for (p1, s_ref), (_, s_fus) in zip(
+            jax.tree_util.tree_leaves_with_path(mut_ref["batch_stats"]),
+            jax.tree_util.tree_leaves_with_path(mut_fus["batch_stats"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(s_ref), np.asarray(s_fus), rtol=0.05, atol=0.02,
+                err_msg=str(p1),
+            )
 
     def test_gradients_match(self, blocks):
         ref, fus, x, variables = blocks

@@ -231,3 +231,39 @@ def test_bf16_optimizer_dtype_trains():
         updates, state = tx.update(g, state, params)
         params = {"w": params["w"] + updates["w"]}
     assert bool(jnp.isfinite(params["w"]).all())
+
+
+def test_preprocess_emits_compute_dtype_both_paths():
+    """_preprocess with a compute dtype must emit bf16 directly on both the
+    fused-normalize and the device-resize path (no f32 write + cast pass)."""
+    from multi_modal_regression_tpu.train.steps import _preprocess
+
+    batch = {"xdata": jnp.zeros((2, 16, 16, 3), jnp.uint8)}
+    assert _preprocess(batch, None, jnp.bfloat16).dtype == jnp.bfloat16
+    assert _preprocess(batch, 8, jnp.bfloat16).dtype == jnp.bfloat16
+    assert _preprocess(batch, None, None).dtype == jnp.float32
+
+
+def test_evaluator_step_uses_compute_dtype(dataset, centers, monkeypatch):
+    """The snapshot evaluator builds its fine-tune step with the SAME
+    compute_dtype the Trainer uses (round-2 regression: it dropped it and
+    re-paid the f32 normalize)."""
+    from multi_modal_regression_tpu.train import evaluator as ev_mod
+    from multi_modal_regression_tpu.train import SnapshotEnsembleEvaluator
+
+    cfg = get_config("geodesic_bd", **TINY, compute_dtype="bfloat16")
+    trainer = Trainer(cfg, dictionary=KMeansDictionary(
+        cluster_centers=centers))
+    captured = {}
+    orig = ev_mod.make_train_step
+
+    def spy(*args, **kwargs):
+        captured.update(kwargs)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ev_mod, "make_train_step", spy)
+    ev = SnapshotEnsembleEvaluator(trainer, cycle_len=4)
+    real, render, test = _loaders(dataset, cfg)
+    state = trainer.init_state()
+    ev.run(state, real, render, test, num_epochs=1)
+    assert captured.get("compute_dtype") == jnp.bfloat16
