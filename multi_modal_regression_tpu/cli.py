@@ -74,6 +74,11 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
     p.add_argument("--multires", action="store_true", default=None)
     p.add_argument("--compute-dtype", type=str, default=None,
                    choices=("float32", "bfloat16"))
+    p.add_argument("--remat", type=str, default=None,
+                   choices=("none", "block", "stage", "conv", "dots",
+                            "nothing"),
+                   help="backward-pass rematerialization policy "
+                        "(train/remat.py)")
     p.add_argument("--device-resize-from", type=int, default=None,
                    help="ship raw images at this size; resize on device")
     p.add_argument("--train-flip", action="store_true", default=None,
@@ -91,6 +96,7 @@ def _config_from_args(args) -> "object":
         "num_epochs", "num_warmup_epochs", "max_iterations",
         "items_per_batch", "image_size", "feature_network", "feature_layer",
         "multires", "compute_dtype", "device_resize_from", "train_flip",
+        "remat",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -511,16 +517,29 @@ def cmd_prepare_data(args) -> int:
 def cmd_prepare_detections(args) -> int:
     """Parse third-party detector outputs and crop them into the
     `dbinfo.mat + all/<img>.mat` layout `predict --det-path` consumes
-    (the setupDataDetection_{vk,r4cnn,maskrcnn}.m pipelines)."""
+    (the setupDataDetection_{vk,r4cnn,maskrcnn}.m pipelines, plus the
+    setupDataDetected_objectnet3d.m Fast-RCNN driver)."""
     from multi_modal_regression_tpu.tools.ingest import (
         parse_maskrcnn_results,
         parse_r4cnn_detections,
         parse_vk_detections,
         prepare_detection_set,
+        prepare_objectnet_detected,
         read_image_set,
     )
 
     classes = _classes_from_args(args)
+    if args.detector == "objectnet":
+        # per-class detections_<cls>.txt trees; no VOC image-set file —
+        # the image list is the union of the detection files' rows
+        n = prepare_objectnet_detected(
+            args.det_source, args.images_dir, args.out, classes,
+            size=args.image_size, workers=args.workers,
+        )
+        print(f"wrote {args.out} ({n} detections)", flush=True)
+        return 0
+    if args.image_set is None:
+        raise SystemExit("--image-set is required for this detector")
     image_names = read_image_set(args.image_set)
     if args.detector == "vk":
         dets = parse_vk_detections(args.det_source, num_images=len(image_names))
@@ -685,16 +704,19 @@ def main(argv=None) -> int:
         help="crop third-party detector outputs into a detection set "
              "(setupDataDetection_{vk,r4cnn,maskrcnn}.m)",
     )
-    p_pdet.add_argument("--detector", choices=("vk", "r4cnn", "maskrcnn"),
+    p_pdet.add_argument("--detector",
+                        choices=("vk", "r4cnn", "maskrcnn", "objectnet"),
                         required=True)
     p_pdet.add_argument("--det-source", type=str, required=True,
                         help="vk: VOC2012_val_det.mat; r4cnn: dir of "
                              "per-class .mat files; maskrcnn: dir of "
-                             "results_<cls>.txt files")
+                             "results_<cls>.txt files; objectnet: dir of "
+                             "detections_<cls>.txt files (Fast-RCNN)")
     p_pdet.add_argument("--images-dir", type=str, required=True,
-                        help="VOC JPEGImages dir")
-    p_pdet.add_argument("--image-set", type=str, required=True,
-                        help="val.txt listing the test images")
+                        help="VOC JPEGImages / ObjectNet3D Images dir")
+    p_pdet.add_argument("--image-set", type=str, default=None,
+                        help="val.txt listing the test images (not used "
+                             "for --detector objectnet)")
     p_pdet.add_argument("--out", type=str, required=True)
     p_pdet.add_argument("--image-size", type=int, default=224)
     p_pdet.add_argument("--workers", type=int, default=8)

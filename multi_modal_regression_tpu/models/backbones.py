@@ -352,6 +352,13 @@ class ResNetBackbone(nn.Module):
                 x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
             )
 
+        # checkpoint_name tags are no-ops unless the train step wraps the
+        # loss in jax.checkpoint with a save_only_these_names policy
+        # (train/remat.py): then the residual stream is what gets saved and
+        # everything between tags is recomputed in the backward pass
+        from jax.ad_checkpoint import checkpoint_name
+
+        x = checkpoint_name(x, "resnet_stem")
         for stage in range(self.num_stages):
             width = 64 * 2**stage
             for block in range(stage_sizes[stage]):
@@ -364,13 +371,15 @@ class ResNetBackbone(nn.Module):
                     name=f"layer{stage + 1}_{block}",
                     **kwargs,
                 )(x, train)
+                x = checkpoint_name(x, "resnet_block")
+            x = checkpoint_name(x, "resnet_stage")
 
         if not self.pool:
             return x
         # Global average pool (== AvgPool2d(full extent) for 224 inputs,
         # featureModels.py:35) -> (B, C). Accumulate the mean in float32.
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        return x
+        return checkpoint_name(x, "resnet_features")
 
 
 class ResNetStage(nn.Module):

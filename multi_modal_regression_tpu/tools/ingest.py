@@ -729,3 +729,77 @@ def prepare_detection_set(
     spio.savemat(
         str(out_dir / "dbinfo.mat"), {"image_names": np.array(list(image_names))}
     )
+
+
+def prepare_objectnet_detected(
+    det_path: str | Path,
+    image_dir: str | Path,
+    out_dir: str | Path,
+    classes: Sequence[str],
+    size: int = 224,
+    workers: int = 8,
+) -> int:
+    """The setupDataDetected_objectnet3d.m driver (reference :24-41).
+
+    Per class: parse the Fast-RCNN `detections_<cls>.txt`, save
+    `<out>/<cls>_detinfo.mat` ({image_names, bboxes, det_scores, ypred} —
+    the reference's save at :33) and write the crop tree
+    `<out>/<cls>/<cls>_%08d.png` (1-based, downscale-only patches like the
+    reference's get_patch at :45-53).
+
+    Additionally composes ALL classes into the `dbinfo.mat + all/<img>.mat`
+    detection-set layout (prepare_detection_set), so the same `<out>` path
+    feeds `cli predict --det-path` directly — the MATLAB pipeline stops at
+    PNG trees and leaves batching to a separate script. Returns the total
+    number of detections written.
+    """
+    import scipy.io as spio
+
+    det_path = Path(det_path)
+    image_dir = Path(image_dir)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    per_image: dict[str, tuple[list, list]] = {}
+    total = 0
+    for ci, cls in enumerate(classes, start=1):
+        txt = det_path / f"detections_{cls}.txt"
+        if not txt.exists():
+            continue
+        info = parse_objectnet_detections(txt)
+        cls_dir = out_dir / cls
+        cls_dir.mkdir(parents=True, exist_ok=True)
+        spio.savemat(str(out_dir / f"{cls}_detinfo.mat"), info)
+
+        def process(args) -> None:
+            j, name, box = args
+            img = load_rgb_image(image_dir / str(name), gray_to_rgb=True)
+            if img is None:
+                return
+            patch = crop_patch(img, box, max_size=size)
+            Image.fromarray(patch).save(cls_dir / f"{cls}_{j:08d}.png")
+
+        rows = [
+            (j + 1, n, b)
+            for j, (n, b) in enumerate(
+                zip(info["image_names"], info["bboxes"])
+            )
+        ]
+        with cf.ThreadPoolExecutor(max(workers, 1)) as pool:
+            list(pool.map(process, rows))
+        total += len(rows)
+        for name, box, score in zip(
+            info["image_names"], info["bboxes"], info["det_scores"]
+        ):
+            b, l = per_image.setdefault(str(name), ([], []))
+            b.append(np.concatenate([box, [score]]))
+            l.append(ci)
+    image_names = sorted(per_image)
+    detections = [
+        (np.stack(per_image[n][0]), np.asarray(per_image[n][1], np.int64))
+        for n in image_names
+    ]
+    prepare_detection_set(
+        image_dir, image_names, detections, out_dir, size=size,
+        workers=workers,
+    )
+    return total

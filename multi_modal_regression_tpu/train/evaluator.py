@@ -121,6 +121,7 @@ class SnapshotEnsembleEvaluator:
                 resize_to=cfg.image_size if cfg.device_resize_from else None,
                 random_flip=cfg.train_flip,
                 compute_dtype=cdtype,
+                remat=cfg.remat,
             ),
             donate_argnums=(0,),
         )

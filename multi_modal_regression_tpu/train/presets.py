@@ -104,6 +104,10 @@ class ExperimentConfig:
     # fused stem bn+relu+maxpool kernel (ops.stem_pool); 'auto' = on for
     # single-chip TPU + bfloat16
     stem_pool: str | None = "auto"
+    # rematerialization policy for the train step's backward pass
+    # (train/remat.py: none|block|stage|conv|dots|nothing) — trades idle
+    # MXU FLOPs for the saved-activation HBM traffic the step is bound by
+    remat: str | None = None
     tensorboard: bool = False  # also emit TB scalars (utils.metrics_writer)
     # snapshot-ensemble evaluation (helperFunctions.py:64,112-118)
     eval_alpha1: float = 1e-6

@@ -64,6 +64,7 @@ def make_train_step(
     resize_to: int | None = None,
     random_flip: bool = False,
     compute_dtype=None,
+    remat: str | None = None,
 ):
     """Build a jit-able train step for (model, problem, optimizer, phase).
 
@@ -71,6 +72,11 @@ def make_train_step(
     main_losses/main_balance. When the balance mode is None the loss is the
     fixed combination Lc + alpha * Lr. `axis_name` is unused under jit-SPMD
     (XLA inserts the psum) but kept for shard_map-style use.
+
+    `remat` selects a rematerialization policy (train/remat.py): the loss
+    function is wrapped in jax.checkpoint so only the policy's activations
+    survive to the backward pass and the rest recompute — the
+    bandwidth-for-FLOPs trade on the BN-bound ResNet trunk.
 
     random_flip=True applies per-sample horizontal flips ON DEVICE with the
     matching (-az, el, -ct) pose transform — the train-time form of the
@@ -83,6 +89,9 @@ def make_train_step(
         loss_pair, balance = problem.main_losses, problem.main_balance
     else:
         raise ValueError(f"phase must be warmup|main, got {phase!r}")
+    from multi_modal_regression_tpu.train.remat import remat_policy
+
+    policy = remat_policy(remat)
 
     def train_step(state: TrainState, batch: dict):
         rng = state.rng
@@ -123,8 +132,12 @@ def make_train_step(
                 loss, s_next = self_balanced(lc, lr, state.s, mode=balance)
             return loss, (lc, lr, s_next, mutated["batch_stats"])
 
+        loss_fn_used = (
+            jax.checkpoint(loss_fn, policy=policy)
+            if policy is not None else loss_fn
+        )
         (loss, (lc, lr, s_next, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
+            loss_fn_used, has_aux=True
         )(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

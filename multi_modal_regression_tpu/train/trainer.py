@@ -93,6 +93,7 @@ class Trainer:
                     resize_to=resize_to,
                     random_flip=config.train_flip,
                     compute_dtype=cdtype,
+                    remat=config.remat,
                 ),
                 donate_argnums=(0,),
             )

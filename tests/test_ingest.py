@@ -317,3 +317,107 @@ def test_parse_objectnet_detections(tmp_path):
     assert info["bboxes"].shape == (2, 4)
     np.testing.assert_allclose(info["det_scores"], [0.8, 0.7])
     np.testing.assert_allclose(info["ypred"][0], [0.1, 0.2, 0.3])
+
+
+def test_prepare_objectnet_detected_driver(tmp_path):
+    """The setupDataDetected_objectnet3d.m driver end-to-end on a synthetic
+    fixture: detinfo.mat + per-class crop trees (reference parity) AND the
+    dbinfo/all detection-set layout `predict --det-path` consumes."""
+    from PIL import Image
+
+    from multi_modal_regression_tpu.tools.ingest import (
+        prepare_objectnet_detected,
+    )
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "Images"
+    img_dir.mkdir()
+    # one big image (crop must downscale) and one small
+    for name, hw in (("o3d_000", (300, 400)), ("o3d_001", (80, 90))):
+        Image.fromarray(
+            rng.integers(0, 256, (*hw, 3), np.uint8)
+        ).save(img_dir / f"{name}.JPEG")
+    det_dir = tmp_path / "dets"
+    det_dir.mkdir()
+    (det_dir / "detections_bed.txt").write_text(
+        "o3d_000 10 10 350 280 0.9 0.1 0.2 0.3\n"
+        "o3d_001 5 5 40 50 0.8 0.0 -0.1 0.2\n"
+    )
+    (det_dir / "detections_chair.txt").write_text(
+        "o3d_000 20 30 200 150 0.7 0.3 0.0 0.1\n"
+    )
+    out = tmp_path / "detected"
+    n = prepare_objectnet_detected(
+        det_dir, img_dir, out, classes=("bed", "chair"), size=64,
+    )
+    assert n == 3
+    # reference-parity outputs: <cls>_detinfo.mat + crop trees (:33-40)
+    info = spio.loadmat(str(out / "bed_detinfo.mat"), squeeze_me=True)
+    assert list(info["image_names"]) == ["o3d_000", "o3d_001"]
+    np.testing.assert_allclose(info["det_scores"], [0.9, 0.8])
+    assert info["ypred"].shape == (2, 3)
+    crops = sorted((out / "bed").glob("*.png"))
+    assert [c.name for c in crops] == ["bed_00000001.png", "bed_00000002.png"]
+    with Image.open(crops[0]) as im:  # 341x271 box downscaled to max 64
+        assert max(im.size) == 64
+    with Image.open(crops[1]) as im:  # small box: no upscaling
+        assert max(im.size) < 64
+    # detection-set layout for `predict --det-path`
+    idx = DetectionSetIndex(str(out))
+    assert len(idx) == 2
+    s0 = idx.load_image(0)
+    assert s0["xdata"].shape == (2, 64, 64, 3)  # bed + chair on o3d_000
+    # stored 1-based (reference convention); load_image returns 0-based
+    assert sorted(s0["labels"].tolist()) == [0, 1]
+    assert 0.7 in s0["scores"] and 0.9 in s0["scores"]
+
+
+def test_prepare_detections_cli_objectnet(tmp_path):
+    """`cli prepare-detections --detector objectnet` writes a set that the
+    detected-bbox inference runner consumes (predict --det-path parity)."""
+    from PIL import Image
+
+    from multi_modal_regression_tpu.cli import main as cli_main
+    from multi_modal_regression_tpu.detection import (
+        DetectionSetIndex,
+        run_detection_inference,
+    )
+
+    rng = np.random.default_rng(1)
+    img_dir = tmp_path / "Images"
+    img_dir.mkdir()
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 256, (100, 120, 3), np.uint8)
+        ).save(img_dir / f"im{i}.JPEG")
+    det_dir = tmp_path / "dets"
+    det_dir.mkdir()
+    (det_dir / "detections_aeroplane.txt").write_text(
+        "im0 5 5 80 90 0.9 0.1 0.2 0.3\nim1 10 10 60 70 0.6 0.0 0.1 0.2\n"
+    )
+    out = tmp_path / "o3d_dets"
+    rc = cli_main([
+        "prepare-detections", "--detector", "objectnet",
+        "--det-source", str(det_dir), "--images-dir", str(img_dir),
+        "--out", str(out), "--image-size", "32",
+    ])
+    assert rc == 0
+    idx = DetectionSetIndex(str(out))
+    assert len(idx) == 2
+
+    from multi_modal_regression_tpu.dictionary.kmeans import KMeansDictionary
+    from multi_modal_regression_tpu.train import Trainer, get_config
+
+    centers = (0.7 * rng.standard_normal((4, 3))).astype(np.float32)
+    cfg = get_config(
+        "geodesic_bd", feature_network="resnet18", num_classes=12,
+        N0=512, N1=16, N2=8, dict_size=4, image_size=32, eval_batch=4,
+    )
+    trainer = Trainer(cfg, dictionary=KMeansDictionary(cluster_centers=centers))
+    state = trainer.init_state(0)
+    bboxes, ypred, labels, scores = run_detection_inference(
+        trainer.apply_fn, trainer.problem, state, idx, batch_size=4
+    )
+    assert len(bboxes) == 2
+    assert ypred[0].shape == (1, 3) and np.isfinite(ypred[0]).all()
+    np.testing.assert_allclose(scores[0], [0.9])

@@ -1,0 +1,166 @@
+"""Multi-host SPMD executed for real: a 2-process CPU cluster e2e test.
+
+Launches two subprocesses (tests/multihost_worker.py) with 4 virtual CPU
+devices each, joined into one 8-device cluster via jax.distributed over a
+localhost coordinator. Each worker runs genuine geodesic_bd train steps
+through `parallel.multihost.initialize` + host-strided loaders +
+`global_batch_from_local`, then the multi-host `Trainer.predict`
+(per-host local eval + process allgather). The loss trajectory must match
+a single-process 8-device run over the same data — the strides partition
+the same global batches, and the loss/BN reductions are row-permutation
+invariant.
+
+This makes parallel/multihost.py EXECUTED code (SURVEY.md §2.4 DCN row);
+the reference has nothing distributed to compare against
+(learnGeodesicBDModel.py:47-48 binds a single GPU).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from multi_modal_regression_tpu.tools.synthetic import generate_pose_dataset
+
+CLASSES = ("aeroplane", "bicycle", "boat")
+STEPS = 2
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mh_data")
+    for sub, seed in (("real", 11), ("render", 12), ("test", 13)):
+        generate_pose_dataset(
+            root / sub, classes=CLASSES, images_per_class=8,
+            image_size=32, seed=seed,
+        )
+    return root
+
+
+@pytest.fixture(scope="module")
+def worker_results(dataset, tmp_path_factory):
+    out_dir = tmp_path_factory.mktemp("mh_out")
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = []
+    for pid in range(2):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    str(Path(__file__).parent / "multihost_worker.py"),
+                    "--process-id", str(pid),
+                    "--num-processes", "2",
+                    "--coordinator", f"127.0.0.1:{port}",
+                    "--data-root", str(dataset),
+                    "--out", str(out_dir / f"proc{pid}.json"),
+                    "--steps", str(STEPS),
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    return [
+        json.loads((out_dir / f"proc{pid}.json").read_text())
+        for pid in range(2)
+    ]
+
+
+def _oracle_losses_and_med(dataset):
+    """Single-process 8-device run over the same global batches: the two
+    hosts' item strides ([0,1] and [2,3] per step) together are exactly
+    items [0:4] — items_per_batch=4 with shuffle=False reproduces them
+    (row order differs; the reductions are permutation-invariant)."""
+    from multi_modal_regression_tpu.data import (
+        BalancedLoader,
+        ClassBalancedIndex,
+        FlatTestIndex,
+        TestLoader,
+    )
+    from multi_modal_regression_tpu.dictionary.kmeans import KMeansDictionary
+    from multi_modal_regression_tpu.metrics.pose_error import (
+        mean_class_median_error,
+    )
+    from multi_modal_regression_tpu.train import Trainer, get_config
+    from multi_modal_regression_tpu.train.trainer import _interleave
+
+    cfg = get_config(
+        "geodesic_bd",
+        feature_network="resnet18", feature_layer="layer4",
+        num_classes=len(CLASSES), N0=512, N1=32, N2=16,
+        dict_size=5, image_size=32, items_per_batch=4, eval_batch=8,
+        max_iterations=STEPS, eval_every=0,
+    )
+    rng = np.random.default_rng(3)
+    centers = (0.7 * rng.standard_normal((5, 3))).astype(np.float32)
+    trainer = Trainer(cfg, dictionary=KMeansDictionary(cluster_centers=centers))
+    real = BalancedLoader(
+        ClassBalancedIndex(str(dataset / "real"), "real", classes=CLASSES),
+        cfg.items_per_batch, cfg.image_size, shuffle=False, num_workers=2,
+    )
+    render = BalancedLoader(
+        ClassBalancedIndex(str(dataset / "render"), "render", classes=CLASSES),
+        cfg.items_per_batch, cfg.image_size, shuffle=False, num_workers=2,
+    )
+    test = TestLoader(
+        FlatTestIndex(str(dataset / "test"), classes=CLASSES),
+        cfg.eval_batch, cfg.image_size, num_workers=2,
+    )
+    state = trainer.init_state(0)
+    step_fn = trainer.train_step_fn("main")
+    losses = []
+    for batch in _interleave(real, render):
+        state, metrics = step_fn(state, trainer.shard_batch(batch))
+        losses.append(float(metrics["loss"]))
+        if len(losses) >= STEPS:
+            break
+    ytrue, ypred, labels = trainer.predict(state, test)
+    med = mean_class_median_error(
+        ytrue, ypred, labels, cfg.num_classes, representation="axis_angle"
+    )
+    return losses, float(med), len(labels)
+
+
+def test_two_process_cluster_matches_single_process(dataset, worker_results):
+    r0, r1 = worker_results
+    # every process computes the same global losses (replicated metrics)
+    np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-6)
+    assert len(r0["losses"]) == STEPS
+    # predict allgather: both processes reconstruct the FULL test set
+    # (generate_pose_dataset varies per-class counts: 8+9+10 images)
+    assert r0["n_test"] == r1["n_test"] == 27
+    np.testing.assert_allclose(r0["med_err"], r1["med_err"], rtol=1e-6)
+
+    oracle_losses, oracle_med, n = _oracle_losses_and_med(dataset)
+    assert n == 27
+    # same global batches, row order permuted between the two setups: the
+    # loss must match to reduction-reordering noise
+    np.testing.assert_allclose(r0["losses"], oracle_losses, rtol=2e-3)
+    np.testing.assert_allclose(r0["med_err"], oracle_med, rtol=2e-2, atol=0.5)

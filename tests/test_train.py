@@ -267,3 +267,38 @@ def test_evaluator_step_uses_compute_dtype(dataset, centers, monkeypatch):
     state = trainer.init_state()
     ev.run(state, real, render, test, num_epochs=1)
     assert captured.get("compute_dtype") == jnp.bfloat16
+
+
+@pytest.mark.parametrize("mode", ["block", "stage", "conv", "dots", "nothing"])
+def test_remat_modes_match_no_remat(dataset, centers, mode):
+    """jax.checkpoint is semantics-exact: every remat policy must produce
+    the same loss and updated params as the unremat step (same program,
+    different schedule)."""
+    from multi_modal_regression_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    batch = {
+        "xdata": rng.integers(0, 256, (12, 32, 32, 3), np.uint8),
+        "euler": rng.uniform(-90, 90, (12, 3)).astype(np.float32),
+        "label": (np.arange(12) % 3).astype(np.int32),
+    }
+    results = {}
+    for remat in (None, mode):
+        cfg = get_config("geodesic_bd", **TINY, remat=remat)
+        trainer = Trainer(
+            cfg, dictionary=KMeansDictionary(cluster_centers=centers),
+            mesh=make_mesh(jax.devices()[:1]),
+        )
+        state = trainer.init_state(0)
+        step = trainer.train_step_fn("main")
+        state, metrics = step(state, trainer.shard_batch(dict(batch)))
+        results[remat] = (
+            float(metrics["loss"]),
+            np.asarray(
+                jax.tree_util.tree_leaves(state.params)[0], np.float32
+            ),
+        )
+    loss_ref, leaf_ref = results[None]
+    loss_got, leaf_got = results[mode]
+    np.testing.assert_allclose(loss_got, loss_ref, rtol=1e-5)
+    np.testing.assert_allclose(leaf_got, leaf_ref, rtol=1e-4, atol=1e-6)
