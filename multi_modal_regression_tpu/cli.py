@@ -606,6 +606,60 @@ def cmd_evaluate_detections(args) -> int:
     return 0
 
 
+def cmd_verify_parity(args) -> int:
+    """The quality-parity acceptance gate as ONE command: prepare-data ->
+    dictionary -> train (--pretrained-backbone) -> snapshot-ensemble
+    evaluate -> optional AVP/ARP, printing the MedErr / Acc@pi/6 table
+    (tools/parity.py; reference chain setupDataFlipped_pascal3d.m ->
+    learnGeodesicBDModel.py -> evaluateGeodesicBDModel.py -> computeAVP.m)."""
+    from multi_modal_regression_tpu.tools.parity import run_parity_gate
+
+    overrides = {}
+    for field in (
+        "num_classes", "dict_size", "N0", "N1", "N2", "N3", "init_lr",
+        "num_epochs", "num_warmup_epochs", "max_iterations",
+        "items_per_batch", "image_size", "feature_network", "feature_layer",
+        "compute_dtype", "device_resize_from", "train_flip", "remat",
+    ):
+        v = getattr(args, field, None)
+        if v is not None:
+            overrides[field] = v
+    classes = (
+        tuple(args.classes.split(",")) if args.classes
+        else _classes_from_args(args)
+    )
+    table = run_parity_gate(
+        workdir=args.workdir or "runs/parity",
+        data_root=args.data_root,
+        db_path=args.db_path,
+        voc_dir=args.voc_dir,
+        render_root=args.render_root,
+        pretrained_backbone=args.pretrained_backbone,
+        det_path=args.det_path,
+        annotations=args.annotations,
+        classes=classes,
+        overrides=overrides,
+        eval_num_epochs=args.eval_num_epochs,
+        workers=args.num_workers,
+    )
+    ev = table["stages"]["evaluate"]
+    print(f"{'class':>14s}  {'MedErr':>8s}  {'Acc@pi/6':>8s}", flush=True)
+    for cls, row in ev["per_class"].items():
+        print(
+            f"{cls:>14s}  {row['med_err_deg']:8.3f}  "
+            f"{row['acc_pi_6_pct']:7.2f}%",
+            flush=True,
+        )
+    print(
+        f"ensembled MedErr {ev['ensembled_med_err_deg']:.3f} deg  "
+        f"Acc@pi/6 {ev['acc_pi_6_pct']:.2f}%",
+        flush=True,
+    )
+    for d in table["deviations"]:
+        print(f"DEVIATION: {d}", flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="multi_modal_regression_tpu.cli")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -745,6 +799,36 @@ def main(argv=None) -> int:
                         help="optional JSON output path")
     p_edet.add_argument("--dbinfo", type=str, default=None)
     p_edet.set_defaults(fn=cmd_evaluate_detections)
+
+    p_par = sub.add_parser(
+        "verify-parity",
+        help="the quality-parity gate as one command: prepare-data -> "
+             "dictionary -> train -> snapshot-ensemble evaluate "
+             "[-> AVP/ARP] (tools/parity.py)",
+    )
+    p_par.add_argument("--data-root", type=str, required=True,
+                       help="prepared tree (train/test/augmented2/original);"
+                            " ingested from --db-path if missing")
+    p_par.add_argument("--db-path", type=str, default=None,
+                       help="PASCAL3D+ release root (for ingestion)")
+    p_par.add_argument("--voc-dir", type=str, default=None)
+    p_par.add_argument("--render-root", type=str, default=None,
+                       help="RenderForCNN-style render tree (dictionary "
+                            "poses + render training data)")
+    p_par.add_argument("--pretrained-backbone", type=str, default=None,
+                       help="torchvision resnet50 .pth (quality parity "
+                            "requires it)")
+    p_par.add_argument("--det-path", type=str, default=None,
+                       help="prepared detection set for the AVP/ARP stage")
+    p_par.add_argument("--annotations", type=str, default=None,
+                       help="PASCAL3D+ Annotations root (AVP/ARP stage)")
+    p_par.add_argument("--eval-num-epochs", type=int, default=None)
+    p_par.add_argument("--classes", type=str, default=None,
+                       help="comma list (default: the 12 PASCAL3D+ classes)")
+    p_par.add_argument("--dbinfo", type=str, default=None)
+    p_par.add_argument("--num-workers", type=int, default=8)
+    _add_config_overrides(p_par)
+    p_par.set_defaults(fn=cmd_verify_parity)
 
     args = parser.parse_args(argv)
     return args.fn(args)
