@@ -79,6 +79,10 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
                             "nothing"),
                    help="backward-pass rematerialization policy "
                         "(train/remat.py)")
+    p.add_argument("--optimizer-dtype", type=str, default=None,
+                   choices=("float32", "bfloat16"),
+                   help="Adam first-moment storage (bfloat16 default; "
+                        "float32 = reference-exact torch.optim.Adam)")
     p.add_argument("--device-resize-from", type=int, default=None,
                    help="ship raw images at this size; resize on device")
     p.add_argument("--train-flip", action="store_true", default=None,
@@ -96,7 +100,7 @@ def _config_from_args(args) -> "object":
         "num_epochs", "num_warmup_epochs", "max_iterations",
         "items_per_batch", "image_size", "feature_network", "feature_layer",
         "multires", "compute_dtype", "device_resize_from", "train_flip",
-        "remat",
+        "remat", "optimizer_dtype",
     ):
         v = getattr(args, field, None)
         if v is not None:

@@ -302,3 +302,19 @@ def test_remat_modes_match_no_remat(dataset, centers, mode):
     loss_got, leaf_got = results[mode]
     np.testing.assert_allclose(loss_got, loss_ref, rtol=1e-5)
     np.testing.assert_allclose(leaf_got, leaf_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_optimizer_dtype_default_is_bf16_and_f32_optin():
+    """Round-3 default flip: bf16 Adam mu (measured faster, trajectory
+    unharmed — BASELINE.md); float32 stays the reference-exact opt-in."""
+    from multi_modal_regression_tpu.train.presets import (
+        build_optimizer,
+        get_config,
+    )
+
+    assert get_config("geodesic_bd").optimizer_dtype == "bfloat16"
+    tx = build_optimizer(get_config("geodesic_bd"))
+    params = {"w": jnp.ones((4, 4))}
+    assert tx.init(params)[0].mu["w"].dtype == jnp.bfloat16
+    tx32 = build_optimizer(get_config("geodesic_bd", optimizer_dtype="float32"))
+    assert tx32.init(params)[0].mu["w"].dtype == jnp.float32
