@@ -118,11 +118,23 @@ def main() -> None:
     med = mean_class_median_error(
         ytrue, ypred, labels, cfg.num_classes, representation="axis_angle"
     )
+
+    # the snapshot-ensemble evaluator (the `cli evaluate` protocol) through
+    # the same cluster: cyclical-SGD fine-tune over global batches +
+    # snapshots via the multi-host predict gather
+    from multi_modal_regression_tpu.train import SnapshotEnsembleEvaluator
+
+    ev = SnapshotEnsembleEvaluator(trainer, cycle_len=2)
+    ev.run(state, real, render, test, num_epochs=1)
+    ens_med, _ = ev.ensemble()
+
     result = {
         "process_id": idx,
         "losses": losses,
         "n_test": int(len(labels)),
         "med_err": float(med),
+        "n_snapshots": len(ev.snapshots),
+        "ensembled_med_err": float(ens_med),
     }
     Path(args.out).write_text(json.dumps(result))
     print(json.dumps(result), flush=True)

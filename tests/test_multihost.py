@@ -157,6 +157,12 @@ def test_two_process_cluster_matches_single_process(dataset, worker_results):
     # (generate_pose_dataset varies per-class counts: 8+9+10 images)
     assert r0["n_test"] == r1["n_test"] == 27
     np.testing.assert_allclose(r0["med_err"], r1["med_err"], rtol=1e-6)
+    # the snapshot-ensemble evaluator also ran through the cluster
+    assert r0["n_snapshots"] == r1["n_snapshots"] >= 1
+    np.testing.assert_allclose(
+        r0["ensembled_med_err"], r1["ensembled_med_err"], rtol=1e-6
+    )
+    assert np.isfinite(r0["ensembled_med_err"])
 
     oracle_losses, oracle_med, n = _oracle_losses_and_med(dataset)
     assert n == 27
