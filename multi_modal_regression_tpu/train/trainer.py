@@ -109,7 +109,7 @@ class Trainer:
 
         self._writer = (
             MetricsWriter(self.workdir, tensorboard=config.tensorboard)
-            if self.workdir
+            if self.workdir and jax.process_index() == 0  # one writer/job
             else None
         )
 
@@ -168,8 +168,13 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         path = (self.workdir / "checkpoints" / name).absolute()
+        # multi-host: EVERY process must call save (orbax synchronizes via
+        # a global barrier and writes each shard from its primary holder);
+        # pass the global jax.Arrays through. Single-process keeps the
+        # host-fetch (one D2H through the TPU tunnel, then pure-host I/O).
+        payload = state if jax.process_count() > 1 else jax.device_get(state)
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, jax.device_get(state), force=True)
+            ckptr.save(path, payload, force=True)
 
     def restore_checkpoint(self, name: str = "last") -> TrainState:
         import orbax.checkpoint as ocp

@@ -170,3 +170,71 @@ def test_two_process_cluster_matches_single_process(dataset, worker_results):
     # loss must match to reduction-reordering noise
     np.testing.assert_allclose(r0["losses"], oracle_losses, rtol=2e-3)
     np.testing.assert_allclose(r0["med_err"], oracle_med, rtol=2e-2, atol=0.5)
+
+
+def test_cli_train_distributed_two_processes(dataset, tmp_path):
+    """`cli train --distributed` end-to-end on the 2-process cluster: the
+    full command-line path (initialize -> strided loaders -> fit ->
+    multi-host evaluate -> process-0-only checkpoint/metrics writes)."""
+    from multi_modal_regression_tpu.dictionary.kmeans import KMeansDictionary
+
+    port = _free_port()
+    workdir = tmp_path / "cli_run"
+    rng = np.random.default_rng(5)
+    dict_path = tmp_path / "km.npz"
+    KMeansDictionary(
+        cluster_centers=(0.7 * rng.standard_normal((4, 3))).astype(np.float32)
+    ).save(dict_path)
+    import scipy.io as spio
+
+    dbinfo = tmp_path / "dbinfo.mat"
+    spio.savemat(str(dbinfo), {"classes": np.array(CLASSES)})
+    env = dict(os.environ)
+    # drop the axon sitecustomize so JAX_PLATFORMS=cpu is honored in the
+    # subprocesses (CLAUDE.md: the sitecustomize overrides the env var)
+    env["PYTHONPATH"] = str(Path(__file__).parent.parent)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = []
+    for pid in range(2):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "multi_modal_regression_tpu.cli",
+                    "train", "--preset", "geodesic_bd",
+                    "--dictionary", str(dict_path),
+                    "--dbinfo", str(dbinfo),
+                    "--distributed",
+                    "--coordinator-address", f"127.0.0.1:{port}",
+                    "--num-processes", "2", "--process-id", str(pid),
+                    "--data-root", str(dataset),
+                    "--real-subdir", "real", "--render-subdir", "render",
+                    "--test-subdir", "test",
+                    "--save-str", "mh", "--workdir", str(workdir),
+                    "--num-classes", "3",
+                    "--feature-network", "resnet18", "--N0", "512",
+                    "--N1", "16", "--N2", "8", "--dict-size", "4",
+                    "--image-size", "32", "--items-per-batch", "2",
+                    "--max-iterations", "1", "--num-epochs", "1",
+                    "--num-warmup-epochs", "1", "--num-workers", "2",
+                ],
+                env=env, cwd=str(Path(__file__).parent.parent),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+        assert f"distributed: process {pid}/2" in out
+        assert "final MedErr" in out
+    # exactly one process wrote the checkpoint and metrics
+    assert (workdir / "checkpoints" / "final").exists()
+    assert (workdir / "metrics.jsonl").exists()
