@@ -91,20 +91,30 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resume", action="store_true")
 
 
-def _config_from_args(args) -> "object":
-    from multi_modal_regression_tpu.train import get_config
+# the ExperimentConfig fields _add_config_overrides exposes; shared by every
+# subcommand that builds a config so no flag is silently dropped
+_OVERRIDE_FIELDS = (
+    "num_classes", "dict_size", "N0", "N1", "N2", "N3", "init_lr",
+    "num_epochs", "num_warmup_epochs", "max_iterations",
+    "items_per_batch", "image_size", "feature_network", "feature_layer",
+    "multires", "compute_dtype", "device_resize_from", "train_flip",
+    "remat", "optimizer_dtype",
+)
 
+
+def _overrides_from_args(args) -> dict:
     overrides = {}
-    for field in (
-        "num_classes", "dict_size", "N0", "N1", "N2", "N3", "init_lr",
-        "num_epochs", "num_warmup_epochs", "max_iterations",
-        "items_per_batch", "image_size", "feature_network", "feature_layer",
-        "multires", "compute_dtype", "device_resize_from", "train_flip",
-        "remat", "optimizer_dtype",
-    ):
+    for field in _OVERRIDE_FIELDS:
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
+    return overrides
+
+
+def _config_from_args(args) -> "object":
+    from multi_modal_regression_tpu.train import get_config
+
+    overrides = _overrides_from_args(args)
     if (
         "num_classes" not in overrides
         and getattr(args, "dbinfo", None)
@@ -380,6 +390,11 @@ def cmd_predict(args) -> int:
     state = trainer.restore_checkpoint(args.checkpoint)
 
     if args.det_path:
+        # the detection stream is per-image local compute with one results
+        # file: run it on process 0 only (no sharded path; other hosts of a
+        # --distributed job just exit)
+        if host_index != 0:
+            return 0
         from multi_modal_regression_tpu.detection import (
             DetectionSetIndex,
             run_detection_inference,
@@ -414,7 +429,27 @@ def cmd_predict(args) -> int:
     out = Path(workdir) / f"results_{args.save_str}.npz"
     if host_index == 0:  # predict() allgathers: every host has the full set
         np.savez(out, ytest=ytrue, yhat_test=ypred, test_labels=labels)
-    med = trainer.evaluate(state, test)
+    # headline metric from the arrays already in hand — a second
+    # trainer.evaluate() would re-run the whole test inference
+    if trainer.problem.metric == "category_accuracy":
+        from multi_modal_regression_tpu.metrics.pose_error import (
+            mean_class_accuracy,
+        )
+
+        med = mean_class_accuracy(labels, ypred, cfg.num_classes)
+    else:
+        from multi_modal_regression_tpu.metrics.pose_error import (
+            mean_class_median_error,
+        )
+
+        med = mean_class_median_error(
+            ytrue, ypred, labels, cfg.num_classes,
+            representation=(
+                "quaternion"
+                if trainer.problem.ydata_type == "quaternion"
+                else "axis_angle"
+            ),
+        )
     if trainer.problem.metric == "pose":
         from multi_modal_regression_tpu.metrics import per_class_report
 
@@ -437,23 +472,10 @@ def cmd_predict(args) -> int:
 
 
 def cmd_dictionary(args) -> int:
-    import numpy as np
-
-    from multi_modal_regression_tpu.data import ClassBalancedIndex, parse_name
-    from multi_modal_regression_tpu.data.targets import euler_to_pose
+    from multi_modal_regression_tpu.tools.parity import gather_tree_poses
 
     # gather all render poses from filenames (learnKmeansDictionary.py:25-37)
-    index = ClassBalancedIndex(args.data_root, "render")
-    eulers = []
-    for c in range(index.num_classes):
-        for name in index.list_image_names[c]:
-            p = parse_name(name)
-            eulers.append((p.az, p.el, -p.ct))
-    import jax.numpy as jnp
-
-    y = np.asarray(
-        euler_to_pose(jnp.asarray(np.asarray(eulers, np.float32)))
-    )
+    y = gather_tree_poses(args.data_root, "render")
     print(f"{len(y)} poses parsed", flush=True)
     if args.type == "kmeans":
         from multi_modal_regression_tpu.dictionary.kmeans import fit_kmeans
@@ -618,16 +640,7 @@ def cmd_verify_parity(args) -> int:
     learnGeodesicBDModel.py -> evaluateGeodesicBDModel.py -> computeAVP.m)."""
     from multi_modal_regression_tpu.tools.parity import run_parity_gate
 
-    overrides = {}
-    for field in (
-        "num_classes", "dict_size", "N0", "N1", "N2", "N3", "init_lr",
-        "num_epochs", "num_warmup_epochs", "max_iterations",
-        "items_per_batch", "image_size", "feature_network", "feature_layer",
-        "compute_dtype", "device_resize_from", "train_flip", "remat",
-    ):
-        v = getattr(args, field, None)
-        if v is not None:
-            overrides[field] = v
+    overrides = _overrides_from_args(args)
     classes = (
         tuple(args.classes.split(",")) if args.classes
         else _classes_from_args(args)

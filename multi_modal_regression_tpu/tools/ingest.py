@@ -770,13 +770,14 @@ def prepare_objectnet_detected(
         cls_dir.mkdir(parents=True, exist_ok=True)
         spio.savemat(str(out_dir / f"{cls}_detinfo.mat"), info)
 
-        def process(args) -> None:
+        def process(args) -> int:
             j, name, box = args
             img = load_rgb_image(image_dir / str(name), gray_to_rgb=True)
             if img is None:
-                return
+                return 0
             patch = crop_patch(img, box, max_size=size)
             Image.fromarray(patch).save(cls_dir / f"{cls}_{j:08d}.png")
+            return 1
 
         rows = [
             (j + 1, n, b)
@@ -785,8 +786,9 @@ def prepare_objectnet_detected(
             )
         ]
         with cf.ThreadPoolExecutor(max(workers, 1)) as pool:
-            list(pool.map(process, rows))
-        total += len(rows)
+            # count WRITTEN crops: rows whose source image is missing get
+            # no PNG (the 1-based numbering still tracks the detinfo rows)
+            total += sum(pool.map(process, rows))
         for name, box, score in zip(
             info["image_names"], info["bboxes"], info["det_scores"]
         ):

@@ -34,28 +34,44 @@ from typing import Any, Callable, Mapping
 import numpy as np
 
 
-def fit_pose_dictionary(
-    tree_root: str | Path, size: int, out_path: str | Path, seed: int = 0,
+def gather_tree_poses(
+    tree_root: str | Path, db_type: str = "render",
     classes: tuple[str, ...] | None = None,
-    log: Callable[[str], None] = print,
-) -> None:
-    """learnKmeansDictionary.py:25-47: parse every filename-encoded pose in
-    the tree, fit kmeans on device, save npz."""
+) -> np.ndarray:
+    """Axis-angle poses of every filename-encoded image in the tree, with
+    the db tilt-sign convention applied (real uses +ct, render uses -ct —
+    dataGenerators.py:57-62; the loaders train against the same signs)."""
     import jax.numpy as jnp
 
     from multi_modal_regression_tpu.data import ClassBalancedIndex, parse_name
     from multi_modal_regression_tpu.data.targets import euler_to_pose
-    from multi_modal_regression_tpu.dictionary.kmeans import fit_kmeans
 
-    index = ClassBalancedIndex(str(tree_root), "render", classes=classes)
+    ct_sign = 1.0 if db_type == "real" else -1.0
+    kw = {"classes": classes} if classes is not None else {}
+    index = ClassBalancedIndex(str(tree_root), db_type, **kw)
     eulers = []
     for c in range(index.num_classes):
         for name in index.list_image_names[c]:
             p = parse_name(name)
-            eulers.append((p.az, p.el, -p.ct))
-    y = np.asarray(
+            eulers.append((p.az, p.el, ct_sign * p.ct))
+    return np.asarray(
         euler_to_pose(jnp.asarray(np.asarray(eulers, np.float32)))
     )
+
+
+def fit_pose_dictionary(
+    tree_root: str | Path, size: int, out_path: str | Path, seed: int = 0,
+    classes: tuple[str, ...] | None = None, db_type: str = "render",
+    log: Callable[[str], None] = print,
+) -> None:
+    """learnKmeansDictionary.py:25-47: parse every filename-encoded pose in
+    the tree, fit kmeans on device, save npz. db_type selects the tilt-sign
+    convention the poses are parsed with — it must match the tree the
+    training loader reads (the no-render fallback fits on the REAL train
+    tree, whose targets use +ct)."""
+    from multi_modal_regression_tpu.dictionary.kmeans import fit_kmeans
+
+    y = gather_tree_poses(tree_root, db_type, classes)
     log(f"[dictionary] {len(y)} poses; fitting kmeans K={size}")
     d = fit_kmeans(y, size, seed=seed)
     d.save(out_path)
@@ -130,6 +146,7 @@ def run_parity_gate(
     dict_size = cfg_overrides.get("dict_size", 200)
     dict_path = workdir / f"kmeans_{dict_size}.npz"
     dict_tree = Path(render_root) if render_root else data_root / "train"
+    dict_db_type = "render" if render_root else "real"
     if render_root is None:
         table["deviations"].append(
             "no render tree: dictionary learned from real train poses "
@@ -137,7 +154,8 @@ def run_parity_gate(
         )
     if not dict_path.exists():
         fit_pose_dictionary(
-            dict_tree, dict_size, dict_path, classes=classes, log=log
+            dict_tree, dict_size, dict_path, classes=classes,
+            db_type=dict_db_type, log=log,
         )
     table["stages"]["dictionary"] = str(dict_path)
     dictionary = KMeansDictionary.load(dict_path)

@@ -411,6 +411,21 @@ class Trainer:
             out[k] = np.concatenate(
                 [g[p, : int(counts[p])] for p in range(len(counts))]
             )
+        # image-strided loaders (TestLoader: host p reads indices
+        # p::host_count in order) let us invert the stride and return rows
+        # in test-set index order — matching the single-host output
+        # row-for-row. Crop-level loaders (MatCropLoader strides FILES with
+        # variable crops each) have no analytic inverse; their rows stay in
+        # host-block order (metrics are row-permutation invariant).
+        if hasattr(test_loader, "_ids"):
+            n_total = int(counts.sum())
+            P = len(counts)
+            gids = np.concatenate([
+                np.arange(p, n_total, P)[: int(counts[p])] for p in range(P)
+            ])
+            if len(gids) == n_total:
+                order = np.argsort(gids, kind="stable")
+                out = {k: v[order] for k, v in out.items()}
         return out["ytrue"], out["ypred"], out["label"].astype(np.int32)
 
     def evaluate(self, state: TrainState, test_loader: TestLoader) -> float:

@@ -190,9 +190,16 @@ def test_cli_train_distributed_two_processes(dataset, tmp_path):
     dbinfo = tmp_path / "dbinfo.mat"
     spio.savemat(str(dbinfo), {"classes": np.array(CLASSES)})
     env = dict(os.environ)
-    # drop the axon sitecustomize so JAX_PLATFORMS=cpu is honored in the
-    # subprocesses (CLAUDE.md: the sitecustomize overrides the env var)
-    env["PYTHONPATH"] = str(Path(__file__).parent.parent)
+    # filter ONLY the axon sitecustomize entry (it overrides JAX_PLATFORMS;
+    # the CLI subprocess cannot call jax.config.update first), keep the
+    # rest of PYTHONPATH, and prepend the repo root
+    kept = [
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon_site" not in p
+    ]
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(Path(__file__).parent.parent), *kept]
+    )
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     procs = []
