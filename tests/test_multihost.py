@@ -202,46 +202,58 @@ def test_cli_train_distributed_two_processes(dataset, tmp_path):
     )
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    procs = []
-    for pid in range(2):
-        procs.append(
-            subprocess.Popen(
-                [
-                    sys.executable, "-m", "multi_modal_regression_tpu.cli",
-                    "train", "--preset", "geodesic_bd",
-                    "--dictionary", str(dict_path),
-                    "--dbinfo", str(dbinfo),
-                    "--distributed",
-                    "--coordinator-address", f"127.0.0.1:{port}",
-                    "--num-processes", "2", "--process-id", str(pid),
-                    "--data-root", str(dataset),
-                    "--real-subdir", "real", "--render-subdir", "render",
-                    "--test-subdir", "test",
-                    "--save-str", "mh", "--workdir", str(workdir),
-                    "--num-classes", "3",
-                    "--feature-network", "resnet18", "--N0", "512",
-                    "--N1", "16", "--N2", "8", "--dict-size", "4",
-                    "--image-size", "32", "--items-per-batch", "2",
-                    "--max-iterations", "1", "--num-epochs", "1",
-                    "--num-warmup-epochs", "1", "--num-workers", "2",
-                ],
-                env=env, cwd=str(Path(__file__).parent.parent),
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    def launch(run_port, extra):
+        procs = []
+        for pid in range(2):
+            procs.append(
+                subprocess.Popen(
+                    [
+                        sys.executable, "-m",
+                        "multi_modal_regression_tpu.cli",
+                        "train", "--preset", "geodesic_bd",
+                        "--dictionary", str(dict_path),
+                        "--dbinfo", str(dbinfo),
+                        "--distributed",
+                        "--coordinator-address", f"127.0.0.1:{run_port}",
+                        "--num-processes", "2", "--process-id", str(pid),
+                        "--data-root", str(dataset),
+                        "--real-subdir", "real", "--render-subdir", "render",
+                        "--test-subdir", "test",
+                        "--save-str", "mh", "--workdir", str(workdir),
+                        "--num-classes", "3",
+                        "--feature-network", "resnet18", "--N0", "512",
+                        "--N1", "16", "--N2", "8", "--dict-size", "4",
+                        "--image-size", "32", "--items-per-batch", "2",
+                        "--max-iterations", "1", "--num-epochs", "1",
+                        "--num-warmup-epochs", "1", "--num-workers", "2",
+                        *extra,
+                    ],
+                    env=env, cwd=str(Path(__file__).parent.parent),
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                    text=True,
+                )
             )
-        )
-    outputs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outputs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outputs)):
-        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
-        assert f"distributed: process {pid}/2" in out
-        assert "final MedErr" in out
+        outputs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outputs.append(out)
+        for pid, (p, out) in enumerate(zip(procs, outputs)):
+            assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+            assert f"distributed: process {pid}/2" in out
+            assert "final MedErr" in out
+        return outputs
+
+    launch(port, [])
     # exactly one process wrote the checkpoint and metrics
     assert (workdir / "checkpoints" / "final").exists()
     assert (workdir / "metrics.jsonl").exists()
+
+    # resume in a NEW 2-process cluster: every process restores the
+    # distributed-saved checkpoint (orbax round trip) and trains on
+    outputs = launch(_free_port(), ["--resume"])
+    assert all("resumed from step 2" in out for out in outputs)
