@@ -421,3 +421,48 @@ def test_prepare_detections_cli_objectnet(tmp_path):
     assert len(bboxes) == 2
     assert ypred[0].shape == (1, 3) and np.isfinite(ypred[0]).all()
     np.testing.assert_allclose(scores[0], [0.9])
+
+
+def test_mat_crop_loader_resizes_to_image_size(release):
+    """The mat protocol evaluates at the EXPERIMENT's resolution: stored
+    224^2 crops are host-resized when image_size differs (the round-2
+    silent-resolution-mismatch fix)."""
+    _, _, out, _ = release
+    midx = MatCropIndex(str(out / "original"), "test", classes=CLASSES)
+    ml = MatCropLoader(midx, batch_size=3, image_size=64, num_workers=2)
+    b = next(iter(ml))
+    assert b["xdata"].shape[1:] == (64, 64, 3)
+    assert b["ydata"].shape[1] == 3
+    # image_size matching the stored crops passes them through untouched
+    ml224 = MatCropLoader(midx, batch_size=3, image_size=224, num_workers=2)
+    b224 = next(iter(ml224))
+    assert b224["xdata"].shape[1:] == (224, 224, 3)
+
+
+def test_gather_tree_poses_tilt_sign_convention(tmp_path):
+    """Dictionary poses must carry the db tilt sign the loaders train with
+    (real +ct, render -ct — dataGenerators.py:57-62)."""
+    from multi_modal_regression_tpu.data.naming import make_name
+    from multi_modal_regression_tpu.tools.parity import gather_tree_poses
+    from PIL import Image as PILImage
+
+    cls_dir = tmp_path / "aeroplane"
+    cls_dir.mkdir(parents=True)
+    name = make_name("aeroplane_x1object1", 30.0, 10.0, 20.0, 4.0)
+    PILImage.fromarray(
+        np.zeros((8, 8, 3), np.uint8)
+    ).save(cls_dir / f"{name}.png")
+    y_real = gather_tree_poses(tmp_path, "real", classes=("aeroplane",))
+    y_render = gather_tree_poses(tmp_path, "render", classes=("aeroplane",))
+    from multi_modal_regression_tpu.data.targets import euler_to_pose
+    import jax.numpy as jnp
+
+    want_real = np.asarray(
+        euler_to_pose(jnp.asarray([[30.0, 10.0, 20.0]], jnp.float32))
+    )
+    want_render = np.asarray(
+        euler_to_pose(jnp.asarray([[30.0, 10.0, -20.0]], jnp.float32))
+    )
+    np.testing.assert_allclose(y_real, want_real, atol=1e-5)
+    np.testing.assert_allclose(y_render, want_render, atol=1e-5)
+    assert not np.allclose(y_real, y_render, atol=1e-3)
