@@ -222,3 +222,40 @@ def test_gamma_auto_from_dictionary(centers):
         np.asarray(explicit.targets(y)["soft"]),
         rtol=1e-6,
     )
+
+
+def test_tp_matches_dp_multires(centers):
+    """The multires model (OneDeltaPerBinModel: classes x clusters delta
+    heads — THE tp motivator, 548 M at full config) shards its 16-head
+    delta bank on the model axis and matches pure dp step metrics."""
+    rng = np.random.default_rng(3)
+    batch = _batch(rng)
+    cfg = get_config("geodesic_bd_multires", **TINY)
+    dict_ = KMeansDictionary(cluster_centers=centers)
+
+    t1 = Trainer(cfg, dictionary=dict_, mesh=make_mesh(jax.devices()[:1]))
+    s1 = t1.init_state()
+    s1, m1 = t1.train_step_fn("main")(s1, t1.shard_batch(batch))
+
+    mesh = make_2d_mesh(4, 2)
+    t2 = Trainer(cfg, dictionary=dict_, mesh=mesh)
+    s2 = t2.init_state()
+    # the (classes*clusters, ...) delta bank is the sharded one
+    k = s2.params["res_models"]["fc1_kernel"]
+    assert k.shape[0] == len(CLASSES) * cfg.dict_size
+    assert "model" in str(k.sharding.spec)
+    assert k.sharding.shard_shape(k.shape)[0] == k.shape[0] // 2
+    # Adam moments of the bank shard identically (capacity is the point)
+    mu = jax.tree_util.tree_leaves_with_path(s2.opt_state)
+    mu_bank = [
+        a for p, a in mu
+        if "res_models" in str(p) and "fc1_kernel" in str(p)
+    ]
+    assert mu_bank and all(
+        "model" in str(a.sharding.spec) for a in mu_bank
+    )
+    s2, m2 = t2.train_step_fn("main")(s2, t2.shard_batch(batch))
+    for key in m1:
+        np.testing.assert_allclose(
+            float(m1[key]), float(m2[key]), rtol=2e-4, atol=1e-5
+        )
