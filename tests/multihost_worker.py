@@ -133,6 +133,10 @@ def main() -> None:
         "losses": losses,
         "n_test": int(len(labels)),
         "med_err": float(med),
+        # head of the gathered ytrue/labels: the stride-inverse reorder
+        # must reproduce single-host row order exactly
+        "ytrue_head": np.asarray(ytrue[:6], np.float64).tolist(),
+        "labels_head": np.asarray(labels[:6]).tolist(),
         "n_snapshots": len(ev.snapshots),
         "ensembled_med_err": float(ens_med),
     }

@@ -145,7 +145,7 @@ def _oracle_losses_and_med(dataset):
     med = mean_class_median_error(
         ytrue, ypred, labels, cfg.num_classes, representation="axis_angle"
     )
-    return losses, float(med), len(labels)
+    return losses, float(med), len(labels), ytrue[:6], labels[:6]
 
 
 def test_two_process_cluster_matches_single_process(dataset, worker_results):
@@ -164,12 +164,20 @@ def test_two_process_cluster_matches_single_process(dataset, worker_results):
     )
     assert np.isfinite(r0["ensembled_med_err"])
 
-    oracle_losses, oracle_med, n = _oracle_losses_and_med(dataset)
+    oracle_losses, oracle_med, n, oracle_ytrue, oracle_labels = (
+        _oracle_losses_and_med(dataset)
+    )
     assert n == 27
     # same global batches, row order permuted between the two setups: the
     # loss must match to reduction-reordering noise
     np.testing.assert_allclose(r0["losses"], oracle_losses, rtol=2e-3)
     np.testing.assert_allclose(r0["med_err"], oracle_med, rtol=2e-2, atol=0.5)
+    # stride-inverse gather: rows come back in test-set index order,
+    # matching the single-host predict row-for-row
+    np.testing.assert_array_equal(r0["labels_head"], oracle_labels)
+    np.testing.assert_allclose(
+        np.asarray(r0["ytrue_head"]), oracle_ytrue, rtol=1e-4, atol=1e-5
+    )
 
 
 def test_cli_train_distributed_two_processes(dataset, tmp_path):
