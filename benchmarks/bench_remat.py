@@ -7,9 +7,8 @@ jax.checkpoint policies trade that idle compute for the saved-activation
 traffic the 23 GB/step floor assumes — the one semantics-exact lever the
 round-2 analysis left untried.
 
-Protocol identical to bench.py: donated chained state, warmup, N measured
-steps, one final D2H loss fetch as the true sync (block_until_ready does
-not synchronize through the axon tunnel).
+Result (BASELINE.md round 3): every policy loses 15-21% — the refutation
+that closed the recompute-scheduling axis.
 
 Usage: python benchmarks/bench_remat.py [mode ...]   (default: all modes)
 """
@@ -25,51 +24,19 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+from benchmarks.common import setup_flagship
+
 BATCH = 96
-IMAGE_SIZE = 224
 WARMUP_STEPS = 3
 MEASURE_STEPS = 40
 
 ALL_MODES = ("none", "block", "stage", "conv", "dots", "nothing")
 
 
-def bench_mode(mode: str, rng: np.ndarray) -> dict:
-    import jax
-    import jax.numpy as jnp
-
-    from multi_modal_regression_tpu.dictionary.kmeans import KMeansDictionary
-    from multi_modal_regression_tpu.parallel.mesh import make_mesh
-    from multi_modal_regression_tpu.train import Trainer, get_config
-    from multi_modal_regression_tpu.train.state import create_train_state
-
-    cfg = get_config(
-        "geodesic_bd",
-        image_size=IMAGE_SIZE,
-        items_per_batch=BATCH // 12,
-        compute_dtype="bfloat16",
-        remat=None if mode == "none" else mode,
+def bench_mode(mode: str, rng) -> dict:
+    trainer, state, batch = setup_flagship(
+        BATCH, rng=rng, remat=None if mode == "none" else mode,
     )
-    centers = (0.8 * rng.standard_normal((cfg.dict_size, 3))).astype(np.float32)
-    trainer = Trainer(
-        cfg,
-        dictionary=KMeansDictionary(cluster_centers=centers),
-        mesh=make_mesh(jax.devices()[:1]),
-    )
-    model = trainer.model
-    x0 = jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32)
-    l0 = jnp.zeros((2,), jnp.int32)
-    variables = jax.jit(lambda k: model.init(k, x0, l0, train=False))(
-        jax.random.PRNGKey(cfg.seed)
-    )
-    state = create_train_state(variables, trainer.tx)
-    batch = {
-        "xdata": rng.integers(
-            0, 256, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), np.uint8
-        ),
-        "euler": rng.uniform(-90, 90, (BATCH, 3)).astype(np.float32),
-        "label": np.tile(np.arange(12, dtype=np.int32), BATCH // 12),
-    }
-    batch = trainer.shard_batch(batch)
     step_fn = trainer.train_step_fn("main")
 
     t_c = time.perf_counter()
@@ -84,10 +51,9 @@ def bench_mode(mode: str, rng: np.ndarray) -> dict:
     loss1 = float(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    img_s = MEASURE_STEPS * BATCH / dt
     return {
         "mode": mode,
-        "img_per_sec": round(img_s, 1),
+        "img_per_sec": round(MEASURE_STEPS * BATCH / dt, 1),
         "ms_per_step": round(1000.0 * dt / MEASURE_STEPS, 2),
         "compile_plus_warmup_s": round(compile_s, 1),
         "loss_after_warmup": round(loss0, 4),

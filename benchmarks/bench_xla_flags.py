@@ -7,11 +7,9 @@ FATALs on unknown flags), but `jax.jit(..., compiler_options=...)` ships
 options to the SERVER-side compiler per executable — verified working
 through the tunnel.
 
-Swept (semantics-exact):
-  - xla_tpu_scoped_vmem_limit_kib: the VMEM budget fusions may tile into
-    (v5e default ~16 MB of 128; bigger tiles = fewer HBM round trips)
-  - xla_tpu_rwb_fusion=false: disable read-write-bundle fusion
-  - xla_tpu_enable_aggressive_loop_fusion_layout_opt
+Result (BASELINE.md round 3): the default configuration is the measured
+optimum — scoped-VMEM raises are monotonically worse, fusion toggles are
+bit-identical no-ops.
 
 Usage: python benchmarks/bench_xla_flags.py [config ...]
 """
@@ -27,8 +25,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+from benchmarks.common import setup_flagship
+
 BATCH = 96
-IMAGE_SIZE = 224
 WARMUP_STEPS = 3
 MEASURE_STEPS = 40
 
@@ -48,40 +47,13 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from multi_modal_regression_tpu.dictionary.kmeans import KMeansDictionary
-    from multi_modal_regression_tpu.parallel.mesh import make_mesh
-    from multi_modal_regression_tpu.train import Trainer, get_config
-    from multi_modal_regression_tpu.train.state import create_train_state
     from multi_modal_regression_tpu.train.steps import make_train_step
 
     names = sys.argv[1:] or list(CONFIGS)
     rng = np.random.default_rng(0)
-    cfg = get_config(
-        "geodesic_bd",
-        image_size=IMAGE_SIZE,
-        items_per_batch=BATCH // 12,
-        compute_dtype="bfloat16",
-    )
-    centers = (0.8 * rng.standard_normal((cfg.dict_size, 3))).astype(np.float32)
-    trainer = Trainer(
-        cfg,
-        dictionary=KMeansDictionary(cluster_centers=centers),
-        mesh=make_mesh(jax.devices()[:1]),
-    )
-    model = trainer.model
-    x0 = jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32)
-    l0 = jnp.zeros((2,), jnp.int32)
-    variables = jax.jit(lambda k: model.init(k, x0, l0, train=False))(
-        jax.random.PRNGKey(cfg.seed)
-    )
-    state0 = jax.device_get(create_train_state(variables, trainer.tx))
-    batch = trainer.shard_batch({
-        "xdata": rng.integers(
-            0, 256, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), np.uint8
-        ),
-        "euler": rng.uniform(-90, 90, (BATCH, 3)).astype(np.float32),
-        "label": np.tile(np.arange(12, dtype=np.int32), BATCH // 12),
-    })
+    trainer, state0, batch = setup_flagship(BATCH, rng=rng)
+    state0 = jax.device_get(state0)  # re-put per config (donation)
+    cfg = trainer.config
     raw_step = make_train_step(
         trainer.apply_fn, trainer.problem, trainer.tx,
         phase="main", alpha=cfg.alpha, compute_dtype=jnp.bfloat16,
