@@ -89,6 +89,11 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
                    help="random horizontal flips (+pose transform) in-step")
     p.add_argument("--workdir", type=str, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--compile-cache", type=str, default=None,
+                   help="persistent XLA compilation-cache dir ('off' to "
+                        "disable; default ~/.cache/multi_modal_regression_"
+                        "tpu/xla — first compiles through a TPU tunnel "
+                        "take minutes, cached reloads don't)")
 
 
 # the ExperimentConfig fields _add_config_overrides exposes; shared by every
@@ -100,6 +105,31 @@ _OVERRIDE_FIELDS = (
     "multires", "compute_dtype", "device_resize_from", "train_flip",
     "remat", "optimizer_dtype",
 )
+
+
+def _setup_compile_cache(args) -> None:
+    """Enable the persistent XLA compilation cache (default on).
+
+    Compiles of the full train step take 20-40 s locally and minutes
+    through a TPU tunnel; the cache makes repeat invocations (resume,
+    evaluate-after-train, parity-gate stages) skip them. Must run before
+    the first jit; safe to call with the backend already initialized.
+    """
+    choice = getattr(args, "compile_cache", None)
+    if choice == "off":
+        return
+    import jax
+
+    if choice is None and jax.config.jax_compilation_cache_dir:
+        return  # a cache is already configured (e.g. tests' conftest)
+    d = Path(choice) if choice else (
+        Path.home() / ".cache" / "multi_modal_regression_tpu" / "xla"
+    )
+    try:
+        d.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(d))
+    except Exception as e:  # unwritable cache dir is never fatal
+        print(f"compile cache disabled ({e})", flush=True)
 
 
 def _overrides_from_args(args) -> dict:
@@ -257,6 +287,7 @@ def _make_loaders(args, cfg, host_count: int = 1, host_index: int = 0):
 
 def cmd_train(args) -> int:
     host_count, host_index = _maybe_init_distributed(args)
+    _setup_compile_cache(args)
 
     from multi_modal_regression_tpu.train import Trainer
 
@@ -347,6 +378,7 @@ def cmd_evaluate(args) -> int:
     # the 9-epoch fine-tune protocol costs as much as training — it gets
     # the same multi-host sharding (initialize BEFORE any backend use)
     host_count, host_index = _maybe_init_distributed(args)
+    _setup_compile_cache(args)
 
     from multi_modal_regression_tpu.train import SnapshotEnsembleEvaluator, Trainer
 
@@ -377,6 +409,7 @@ def cmd_predict(args) -> int:
     evaluateJointModel.py protocol) or detector crops
     (evaluateModelDetectedBBoxes.py) when --det-path is given."""
     host_count, host_index = _maybe_init_distributed(args)
+    _setup_compile_cache(args)
 
     import numpy as np
 
@@ -472,6 +505,7 @@ def cmd_predict(args) -> int:
 
 
 def cmd_dictionary(args) -> int:
+    _setup_compile_cache(args)
     from multi_modal_regression_tpu.tools.parity import gather_tree_poses
 
     # gather all render poses from filenames (learnKmeansDictionary.py:25-37)
@@ -638,6 +672,7 @@ def cmd_verify_parity(args) -> int:
     evaluate -> optional AVP/ARP, printing the MedErr / Acc@pi/6 table
     (tools/parity.py; reference chain setupDataFlipped_pascal3d.m ->
     learnGeodesicBDModel.py -> evaluateGeodesicBDModel.py -> computeAVP.m)."""
+    _setup_compile_cache(args)
     from multi_modal_regression_tpu.tools.parity import run_parity_gate
 
     overrides = _overrides_from_args(args)
