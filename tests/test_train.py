@@ -318,3 +318,30 @@ def test_optimizer_dtype_default_is_bf16_and_f32_optin():
     assert tx.init(params)[0].mu["w"].dtype == jnp.bfloat16
     tx32 = build_optimizer(get_config("geodesic_bd", optimizer_dtype="float32"))
     assert tx32.init(params)[0].mu["w"].dtype == jnp.float32
+
+
+def test_remat_exact_on_multires(dataset, centers):
+    """remat wraps the loss fn generically — verify exactness on the
+    multires model too (argmax bin-select + per-bin delta bank, the
+    heaviest control-flow path)."""
+    from multi_modal_regression_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(9)
+    batch = {
+        "xdata": rng.integers(0, 256, (12, 32, 32, 3), np.uint8),
+        "euler": rng.uniform(-90, 90, (12, 3)).astype(np.float32),
+        "label": (np.arange(12) % 3).astype(np.int32),
+    }
+    losses = {}
+    for remat in (None, "block"):
+        cfg = get_config("geodesic_bd_multires", **TINY, remat=remat)
+        trainer = Trainer(
+            cfg, dictionary=KMeansDictionary(cluster_centers=centers),
+            mesh=make_mesh(jax.devices()[:1]),
+        )
+        state = trainer.init_state(0)
+        state, metrics = trainer.train_step_fn("main")(
+            state, trainer.shard_batch(dict(batch))
+        )
+        losses[remat] = float(metrics["loss"])
+    np.testing.assert_allclose(losses["block"], losses[None], rtol=1e-5)
