@@ -335,3 +335,30 @@ def test_train_resume(data_root, dictionary_file, tmp_path):
     assert main(base) == 0
     # resume restores the saved state and continues without error
     assert main(base + ["--resume"]) == 0
+
+
+def test_every_registered_config_flag_is_forwarded():
+    """Guard for the dropped-flag bug class (round-3 review: verify-parity
+    silently ignored --optimizer-dtype): every flag _add_config_overrides
+    registers that names an ExperimentConfig field must be in
+    _OVERRIDE_FIELDS, so every subcommand forwards it."""
+    import argparse
+    import dataclasses
+
+    from multi_modal_regression_tpu.cli import (
+        _OVERRIDE_FIELDS,
+        _add_config_overrides,
+    )
+    from multi_modal_regression_tpu.train.presets import ExperimentConfig
+
+    p = argparse.ArgumentParser()
+    _add_config_overrides(p)
+    ns = p.parse_args([])
+    cfg_fields = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    registered = set(vars(ns)) & cfg_fields
+    missing = registered - set(_OVERRIDE_FIELDS)
+    assert not missing, (
+        f"flags registered but not forwarded to get_config: {sorted(missing)}"
+    )
+    # and the forward list only names real config fields
+    assert set(_OVERRIDE_FIELDS) <= cfg_fields
