@@ -2,13 +2,19 @@
 
 Measures the full eval step — uint8 normalize, backbone, head banks, bin
 argmax + dictionary decode — at several batch sizes (geodesic_bd flagship,
-bf16). Distinct device-resident batches are cycled so the tunnel cannot
-reuse identical dispatches, and the sync is the D2H fetch of the last
-batch's predictions (block_until_ready is a no-op through the tunnel).
+bf16). Protocol: EVERY dispatch gets its own distinct device-resident
+batch, so tunnel-side dedup of repeated dispatches is impossible by
+construction; the device executes the independent programs sequentially
+on its single stream and the final D2H fetch syncs the whole run.
 
-Result (BASELINE.md round 3): ~11-12k img/s/chip device-side, peaking
-near batch 256 — the round-1 single-batch protocol was bound by the
-tunnel's fixed per-dispatch overhead, not the device.
+Protocol validation (round 3, recorded in BASELINE.md): four variants —
+chained/1-batch, chained/8-rotating, unchained/40-distinct,
+unchained/1-repeated — measure 151.5 / 8.73 / 8.60 / 8.60 ms per batch.
+The three distinct-or-repeated variants agree (no dedup observed for
+eval dispatches; ~8.6 ms IS sequential execution), while chaining a
+single reused input buffer through a data dependency triggers a
+pathological ~150 ms/dispatch tunnel serialization — so the distinct-
+batch unchained form is both the safest and the honest one.
 
 Usage: python benchmarks/bench_infer.py [batch ...]
 """
@@ -27,8 +33,7 @@ import numpy as np
 from benchmarks.common import make_device_batch, setup_flagship
 
 IMAGE_SIZE = 224
-N_BATCHES = 8
-REPEATS = 5  # total steps = N_BATCHES * REPEATS
+STEPS = 40  # each gets its own batch
 
 
 def main() -> None:
@@ -40,22 +45,20 @@ def main() -> None:
     for B in batches:
         dev_batches = [
             make_device_batch(trainer, B, IMAGE_SIZE, rng)
-            for _ in range(N_BATCHES)
+            for _ in range(STEPS)
         ]
-        # warmup + force the puts to complete
-        yp, _ = eval_step(state, dev_batches[0])
+        # warmup (compile) + force the puts to complete
+        yp, _ = eval_step(state, dev_batches[-1])
         np.asarray(yp)
         t0 = time.perf_counter()
-        for _ in range(REPEATS):
-            for b in dev_batches:
-                yp, _ = eval_step(state, b)
-        np.asarray(yp)  # one D2H sync at the end of the chain
+        for b in dev_batches:
+            yp, _ = eval_step(state, b)
+        np.asarray(yp)  # the device stream is in-order: this syncs all 40
         dt = time.perf_counter() - t0
-        steps = REPEATS * N_BATCHES
         print(json.dumps({
             "batch": B,
-            "img_per_sec": round(steps * B / dt, 1),
-            "ms_per_batch": round(1000.0 * dt / steps, 2),
+            "img_per_sec": round(STEPS * B / dt, 1),
+            "ms_per_batch": round(1000.0 * dt / STEPS, 2),
         }), flush=True)
 
 

@@ -428,6 +428,15 @@ def cmd_predict(args) -> int:
         # --distributed job just exit)
         if host_index != 0:
             return 0
+        if host_count > 1:
+            # the restored state is replicated over the GLOBAL mesh, which
+            # one process cannot execute alone — pin a local copy first
+            # (the Trainer._predict_multihost pattern)
+            import jax
+
+            state = jax.device_put(
+                jax.device_get(state), jax.local_devices()[0]
+            )
         from multi_modal_regression_tpu.detection import (
             DetectionSetIndex,
             run_detection_inference,
@@ -770,6 +779,9 @@ def main(argv=None) -> int:
     p_dict.add_argument("--size", type=int, default=200)
     p_dict.add_argument("--out", type=str, required=True)
     p_dict.add_argument("--seed", type=int, default=0)
+    p_dict.add_argument("--compile-cache", type=str, default=None,
+                        help="persistent XLA compile-cache dir "
+                             "('off' to disable)")
     p_dict.set_defaults(fn=cmd_dictionary)
 
     p_prep = sub.add_parser(

@@ -234,6 +234,10 @@ def test_cli_train_distributed_two_processes(dataset, tmp_path):
                         "--image-size", "32", "--items-per-batch", "2",
                         "--max-iterations", "1", "--num-epochs", "1",
                         "--num-warmup-epochs", "1", "--num-workers", "2",
+                        # subprocesses don't inherit the conftest's
+                        # in-process cache config; keep them off the real
+                        # ~/.cache and on the warm test cache
+                        "--compile-cache", "/tmp/jax_test_compile_cache",
                         *extra,
                     ],
                     env=env, cwd=str(Path(__file__).parent.parent),

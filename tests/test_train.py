@@ -320,7 +320,7 @@ def test_optimizer_dtype_default_is_bf16_and_f32_optin():
     assert tx32.init(params)[0].mu["w"].dtype == jnp.float32
 
 
-def test_remat_exact_on_multires(dataset, centers):
+def test_remat_exact_on_multires(centers):
     """remat wraps the loss fn generically — verify exactness on the
     multires model too (argmax bin-select + per-bin delta bank, the
     heaviest control-flow path)."""
