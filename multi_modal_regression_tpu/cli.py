@@ -492,7 +492,8 @@ def cmd_predict(args) -> int:
                 else "axis_angle"
             ),
         )
-    if trainer.problem.metric == "pose":
+    # every host computed the same allgathered arrays; one host reports
+    if host_index == 0 and trainer.problem.metric == "pose":
         from multi_modal_regression_tpu.metrics import per_class_report
 
         rep = (
@@ -509,7 +510,8 @@ def cmd_predict(args) -> int:
                 f"Acc@30 {row['acc_30deg']:5.1f}%  (n={row['count']})",
                 flush=True,
             )
-    print(f"wrote {out}; MedErr {med:.4f}", flush=True)
+    if host_index == 0:
+        print(f"wrote {out}; MedErr {med:.4f}", flush=True)
     return 0
 
 
@@ -706,6 +708,8 @@ def cmd_verify_parity(args) -> int:
     ev = table["stages"]["evaluate"]
     print(f"{'class':>14s}  {'MedErr':>8s}  {'Acc@pi/6':>8s}", flush=True)
     for cls, row in ev["per_class"].items():
+        if cls == "mean":  # already reported by the ensembled line below
+            continue
         print(
             f"{cls:>14s}  {row['med_err_deg']:8.3f}  "
             f"{row['acc_pi_6_pct']:7.2f}%",

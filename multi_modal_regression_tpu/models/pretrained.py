@@ -131,3 +131,127 @@ def load_torchvision_backbone(
     if name in VGG_CONFIGS:
         return load_torchvision_vgg(path_or_dict, name, layer)
     raise ValueError(f"unknown backbone {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# full reference-checkpoint import (models/<save_str>.tar files)
+# ---------------------------------------------------------------------------
+
+# The reference's resnet feature model is nn.Sequential of the first 8
+# torchvision children — conv1, bn1, relu, maxpool, layer1..layer4
+# (featureModels.py:34); its state_dict keys are positional:
+_RESNET_SEQ = {
+    "0": "conv1", "1": "bn1",
+    "4": "layer1", "5": "layer2", "6": "layer3", "7": "layer4",
+}
+
+
+def _unwrap_reference_features(sd: dict) -> dict:
+    """Map `feature_model.features.N...` keys back onto torchvision names
+    (`conv1.weight`, `layer3.0.conv2.weight`, ...) so the backbone loaders
+    apply unchanged."""
+    out = {}
+    for k, v in sd.items():
+        if not k.startswith("feature_model."):
+            continue
+        rest = k[len("feature_model."):]
+        if rest.startswith("features."):
+            idx, _, tail = rest[len("features."):].partition(".")
+            if idx in _RESNET_SEQ:
+                name = _RESNET_SEQ[idx]
+                out[f"{name}.{tail}" if tail else name] = v
+        else:
+            # vgg wrapper keeps named submodules (features/classifier,
+            # featureModels.py:55-59) — pass through as-is
+            out[rest] = v
+    return out
+
+
+def _stack_head_bank(
+    sd: dict, prefix: str, num_heads: int, n_layers: int
+) -> tuple[dict, dict]:
+    """Stack `prefix.{i}.fcL/bnL` per-head modules (binDeltaModels.py:16-91
+    blocks held in nn.ModuleLists) into one MultiHeadMLP parameter bank:
+
+      fcL.weight (O, I) x H  ->  fcL_kernel (H, I, O)
+      bnL.weight/bias    x H  ->  bnL scale/bias (H, F) (+ running stats)
+      final fc bias      x H  ->  fcN_bias (H, O)
+    """
+    params: dict = {}
+    stats: dict = {}
+    for li in range(1, n_layers + 1):
+        w = np.stack(
+            [
+                np.transpose(sd[f"{prefix}.{i}.fc{li}.weight"])
+                for i in range(num_heads)
+            ]
+        )
+        params[f"fc{li}_kernel"] = w
+        if li == n_layers:
+            params[f"fc{li}_bias"] = np.stack(
+                [sd[f"{prefix}.{i}.fc{li}.bias"] for i in range(num_heads)]
+            )
+        else:
+            params[f"bn{li}"] = {
+                "scale": np.stack(
+                    [sd[f"{prefix}.{i}.bn{li}.weight"] for i in range(num_heads)]
+                ),
+                "bias": np.stack(
+                    [sd[f"{prefix}.{i}.bn{li}.bias"] for i in range(num_heads)]
+                ),
+            }
+            stats[f"bn{li}"] = {
+                "mean": np.stack(
+                    [
+                        sd[f"{prefix}.{i}.bn{li}.running_mean"]
+                        for i in range(num_heads)
+                    ]
+                ),
+                "var": np.stack(
+                    [
+                        sd[f"{prefix}.{i}.bn{li}.running_var"]
+                        for i in range(num_heads)
+                    ]
+                ),
+            }
+    return params, stats
+
+
+def load_reference_bd_checkpoint(path_or_dict: Any, cfg) -> dict:
+    """Convert a reference bin-and-delta checkpoint (the model.state_dict()
+    `models/<save_str>.tar` files, learnGeodesicBDModel.py:231-232) into
+    this framework's flax variables for the matching config.
+
+    Supports the three binDeltaModels.py model families:
+      OneBinDeltaModel                 (model_kind 'one_bin_delta')
+      OneDeltaPerBinModel              ('one_delta_per_bin')
+      ProbabilisticOneDeltaPerBinModel ('probabilistic')
+
+    Returns `{"params": ..., "batch_stats": ...}` ready for
+    TrainState / model.apply. A user migrating from the reference loads
+    their trained torch checkpoint and keeps serving it from TPU.
+    """
+    sd = _load_state_dict(path_or_dict)
+    fm = _unwrap_reference_features(sd)
+    bb_params, bb_stats = load_torchvision_backbone(
+        fm, cfg.feature_network, cfg.feature_layer
+    )
+    params: dict = {"feature_model": bb_params}
+    stats: dict = {"feature_model": bb_stats}
+    params["bin_models"], stats["bin_models"] = _stack_head_bank(
+        sd, "bin_models", cfg.num_classes, n_layers=3
+    )
+    if cfg.model_kind == "one_bin_delta":
+        res_heads, res_layers = cfg.num_classes, 3
+    elif cfg.model_kind in ("one_delta_per_bin", "probabilistic"):
+        # one res_2layer per (class, cluster), class-major — the reference's
+        # view(num_classes, num_clusters, ...) order (binDeltaModels.py:141)
+        res_heads, res_layers = cfg.num_classes * cfg.dict_size, 2
+    else:
+        raise ValueError(
+            f"model_kind {cfg.model_kind!r} is not a bin-delta family"
+        )
+    params["res_models"], stats["res_models"] = _stack_head_bank(
+        sd, "res_models", res_heads, n_layers=res_layers
+    )
+    return {"params": params, "batch_stats": stats}

@@ -222,8 +222,28 @@ def run_parity_gate(
     log(f"[train] MedErr (pre-ensemble): {med_plain:.3f} deg")
 
     # -- stage 4: snapshot-ensemble evaluation (evaluateGeodesicBDModel.py)
+    # idempotent resume: the fine-tune costs as much as training, so a
+    # completed run (marked by snapshots/done.json) is reloaded from its
+    # num<k>.npz artifacts + the ensemble_final checkpoint instead of
+    # re-running
     ev = SnapshotEnsembleEvaluator(trainer, workdir=workdir / "snapshots")
-    state = ev.run(state, real, render, test, num_epochs=eval_num_epochs)
+    done_marker = workdir / "snapshots" / "done.json"
+    if done_marker.exists() and ev.load_saved() > 0:
+        log(
+            f"[evaluate] {len(ev.snapshots)} saved snapshots exist; "
+            "skipping fine-tune"
+        )
+        state = trainer.restore_checkpoint("ensemble_final")
+    else:
+        state = ev.run(state, real, render, test, num_epochs=eval_num_epochs)
+        # reset opt_state to the trainer's own structure so the restore
+        # template (init_state) matches: the fine-tune's cyclical-SGD
+        # state is not needed downstream (stage 5 is inference-only)
+        trainer.save_checkpoint(
+            state.replace(opt_state=trainer.init_state().opt_state),
+            "ensemble_final",
+        )
+        done_marker.write_text(json.dumps({"snapshots": len(ev.snapshots)}))
     med_ens, ypred_ens = ev.ensemble()
     first = ev.snapshots[0]
     report = per_class_report(
@@ -251,29 +271,37 @@ def run_parity_gate(
     if det_path is not None:
         if annotations is None:
             raise ValueError("det_path requires annotations")
-        from multi_modal_regression_tpu.detection import (
-            DetectionSetIndex,
-            build_voc_ground_truth,
-            evaluate_detection_results,
-            run_detection_inference,
-        )
+        det_cache = workdir / "detections.json"
+        if det_cache.exists():
+            table["stages"]["detections"] = json.loads(det_cache.read_text())
+            log(f"[detections] cached results exist ({det_cache}); skipping")
+        else:
+            from multi_modal_regression_tpu.detection import (
+                DetectionSetIndex,
+                build_voc_ground_truth,
+                evaluate_detection_results,
+                run_detection_inference,
+            )
 
-        index = DetectionSetIndex(str(det_path))
-        bboxes, ypred, labels, scores = run_detection_inference(
-            trainer.apply_fn, trainer.problem, state, index,
-            batch_size=cfg.eval_batch,
-        )
-        annos = build_voc_ground_truth(
-            annotations, index.image_names, classes
-        )
-        det_table = evaluate_detection_results(
-            annos, bboxes, ypred, labels, classes, scores=scores
-        )
-        table["stages"]["detections"] = {
-            cls: {k: round(float(v), 4) for k, v in row.items()}
-            for cls, row in det_table.items()
-        }
-        m = det_table["mean"]
+            index = DetectionSetIndex(str(det_path))
+            bboxes, ypred, labels, scores = run_detection_inference(
+                trainer.apply_fn, trainer.problem, state, index,
+                batch_size=cfg.eval_batch,
+            )
+            annos = build_voc_ground_truth(
+                annotations, index.image_names, classes
+            )
+            det_table = evaluate_detection_results(
+                annos, bboxes, ypred, labels, classes, scores=scores
+            )
+            table["stages"]["detections"] = {
+                cls: {k: round(float(v), 4) for k, v in row.items()}
+                for cls, row in det_table.items()
+            }
+            det_cache.write_text(
+                json.dumps(table["stages"]["detections"], indent=2)
+            )
+        m = table["stages"]["detections"]["mean"]
         log(
             f"[detections] mean AP {m['ap']:.4f} AVP {m['avp']:.4f} "
             f"ARP {m['arp']:.4f}"

@@ -169,7 +169,35 @@ class SnapshotEnsembleEvaluator:
             np.savez(
                 self.workdir / f"num{k}.npz",
                 ytest=ytrue, yhat_test=ypred, test_labels=labels,
+                step=np.int64(snap.step),
             )
+
+    def load_saved(self) -> int:
+        """Repopulate `self.snapshots` from num<k>.npz files previously
+        written to workdir (verify-parity idempotent resume: the snapshot
+        files are the persisted artifact of the fine-tune stage, replacing
+        the reference's results/<S>_<db>/num<k>.mat). Returns the count."""
+        if not self.workdir:
+            raise RuntimeError("no workdir to load snapshots from")
+        rep = self._representation()
+        self.snapshots = []
+        k = 0
+        while (path := self.workdir / f"num{k}.npz").exists():
+            z = np.load(path)
+            labels = z["test_labels"].astype(np.int32)
+            med = mean_class_median_error(
+                z["ytest"], z["yhat_test"], labels,
+                self._cfg.num_classes, representation=rep,
+            )
+            self.snapshots.append(
+                SnapshotResult(
+                    step=int(z["step"]) if "step" in z.files else -1,
+                    med_err=med, ytrue=z["ytest"], ypred=z["yhat_test"],
+                    labels=labels,
+                )
+            )
+            k += 1
+        return len(self.snapshots)
 
     def _representation(self) -> str:
         return (

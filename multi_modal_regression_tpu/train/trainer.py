@@ -420,10 +420,18 @@ class Trainer:
         if hasattr(test_loader, "_ids"):
             n_total = int(counts.sum())
             P = len(counts)
-            gids = np.concatenate([
-                np.arange(p, n_total, P)[: int(counts[p])] for p in range(P)
-            ])
-            if len(gids) == n_total:
+            # the inverse is only valid if every host yielded exactly its
+            # full stride p::P — a loader that drops mid-stream rows (not
+            # just tail padding) would silently misplace rows otherwise;
+            # fall back to host-block order in that case (metrics are
+            # row-permutation invariant)
+            stride_ok = all(
+                int(counts[p]) == len(range(p, n_total, P)) for p in range(P)
+            )
+            if stride_ok:
+                gids = np.concatenate(
+                    [np.arange(p, n_total, P) for p in range(P)]
+                )
                 order = np.argsort(gids, kind="stable")
                 out = {k: v[order] for k, v in out.items()}
         return out["ytrue"], out["ypred"], out["label"].astype(np.int32)

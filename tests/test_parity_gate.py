@@ -93,10 +93,14 @@ def test_verify_parity_gate_end_to_end(release, det_set, tmp_path):
         assert 0.0 <= det[cls]["ap"] <= 1.0
     # scratch-trained fixture: the no-pretrained deviation must be flagged
     assert any("pretrained" in d for d in table["deviations"])
-    # idempotent resume: a second invocation reuses every artifact
+    # idempotent resume: a second invocation reuses every artifact —
+    # including the fine-tune snapshots (num<k>.npz + done.json) and the
+    # detection metrics (detections.json), the two post-train stages
     rc = main([
         "verify-parity",
         "--data-root", str(tmp_path / "prepared"),
+        "--det-path", str(det_set),
+        "--annotations", str(db / "Annotations"),
         "--workdir", str(workdir),
         "--classes", ",".join(CLASSES),
         "--feature-network", "resnet18", "--N0", "512", "--N1", "16",
@@ -106,3 +110,9 @@ def test_verify_parity_gate_end_to_end(release, det_set, tmp_path):
         "--eval-num-epochs", "1", "--num-workers", "2",
     ])
     assert rc == 0
+    table2 = json.loads((workdir / "parity.json").read_text())
+    ev2 = table2["stages"]["evaluate"]
+    # snapshots reloaded from disk -> identical ensemble and detections
+    assert ev2["ensembled_med_err_deg"] == ev["ensembled_med_err_deg"]
+    assert ev2["snapshot_med_errs"] == ev["snapshot_med_errs"]
+    assert table2["stages"]["detections"] == det
