@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from multi_modal_regression_tpu.models.norm import TorchBatchNorm, bessel_factor
+
 # (stage_sizes, bottleneck) per architecture, torchvision naming.
 RESNET_CONFIGS: dict[str, tuple[tuple[int, ...], bool]] = {
     "resnet18": ((2, 2, 2, 2), False),
@@ -55,8 +57,9 @@ def _conv(features: int, kernel: int, stride: int, pad: int, dtype, name: str):
 
 
 def _bn(train: bool, dtype, name: str):
-    """BatchNorm with torch defaults (eps=1e-5, running-stat decay 0.1)."""
-    return nn.BatchNorm(
+    """BatchNorm with torch defaults (eps=1e-5, running-stat decay 0.1) and
+    torch's Bessel-corrected running-variance update (models/norm.py)."""
+    return TorchBatchNorm(
         use_running_average=not train,
         momentum=0.9,
         epsilon=1e-5,
@@ -81,14 +84,16 @@ class _ConvKernel(nn.Module):
 
 class _BNState(nn.Module):
     """Parameter/stat holder matching nn.BatchNorm's tree
-    (<name>/{scale,bias} + batch_stats <name>/{mean,var}), with flax's
-    biased-variance running update (momentum 0.9, like _bn above)."""
+    (<name>/{scale,bias} + batch_stats <name>/{mean,var}), with torch's
+    Bessel-corrected running-variance update (momentum 0.9, like _bn above;
+    `count` is the per-feature reduction count n the biased batch_var was
+    computed over)."""
 
     features: int
     momentum: float = 0.9
 
     @nn.compact
-    def __call__(self, batch_mean=None, batch_var=None):
+    def __call__(self, batch_mean=None, batch_var=None, count=None):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         ra_mean = self.variable(
@@ -101,8 +106,9 @@ class _BNState(nn.Module):
         )
         if batch_mean is not None and not self.is_initializing():
             m = self.momentum
+            correction = bessel_factor(count) if count is not None else 1.0
             ra_mean.value = m * ra_mean.value + (1 - m) * batch_mean
-            ra_var.value = m * ra_var.value + (1 - m) * batch_var
+            ra_var.value = m * ra_var.value + (1 - m) * (batch_var * correction)
         return scale, bias, ra_mean.value, ra_var.value
 
 
@@ -230,8 +236,9 @@ class BottleneckBlock(nn.Module):
         impl = self.fused
         # conv1 (input is already post-activation -> no prologue)
         y1, s1 = conv1x1_bn_stats(x, w1, None, relu=False, impl=impl)
-        m1, v1 = stats_to_moments(s1, y1.shape[0] * y1.shape[1] * y1.shape[2])
-        sc1, bi1, _, _ = bn1(m1, v1)
+        count1 = y1.shape[0] * y1.shape[1] * y1.shape[2]
+        m1, v1 = stats_to_moments(s1, count1)
+        sc1, bi1, _, _ = bn1(m1, v1, count1)
         a1, b1 = fold_bn(m1, v1, sc1, bi1)
         if self.stride == 1:
             # fused 3x3: bn1+relu applied in the input pass, stats in the
@@ -256,19 +263,19 @@ class BottleneckBlock(nn.Module):
         # mean/var at those stages; conv3/downsample share conv2's dims
         count2 = y2.shape[0] * y2.shape[1] * y2.shape[2]
         m2, v2 = stats_to_moments(s2, count2)
-        sc2, bi2, _, _ = bn2(m2, v2)
+        sc2, bi2, _, _ = bn2(m2, v2, count2)
         ab2 = fold_bn(m2, v2, sc2, bi2)
         # conv3: bn2+relu applied on the fly in the input pass
         y3, s3 = conv1x1_bn_stats(y2, w3, ab2, relu=True, impl=impl)
         m3, v3 = stats_to_moments(s3, count2)
-        sc3, bi3, _, _ = bn3(m3, v3)
+        sc3, bi3, _, _ = bn3(m3, v3, count2)
         a3, b3 = fold_bn(m3, v3, sc3, bi3)
         if needs_ds:
             yd, sd = conv1x1_bn_stats(
                 x, wd, None, stride=self.stride, relu=False, impl=impl
             )
             md, vd = stats_to_moments(sd, count2)
-            scd, bid, _, _ = bnd(md, vd)
+            scd, bid, _, _ = bnd(md, vd, count2)
             ad, bd = fold_bn(md, vd, scd, bid)
             shortcut = yd * ad.astype(dt) + bd.astype(dt)
         else:
@@ -326,10 +333,9 @@ class ResNetBackbone(nn.Module):
                     jnp.sum(xf, axis=(0, 1, 2)),
                     jnp.sum(xf * xf, axis=(0, 1, 2)),
                 ])
-                m, v = stats_to_moments(
-                    s, x.shape[0] * x.shape[1] * x.shape[2]
-                )
-                sc, bi, _, _ = bn1(m, v)
+                count_stem = x.shape[0] * x.shape[1] * x.shape[2]
+                m, v = stats_to_moments(s, count_stem)
+                sc, bi, _, _ = bn1(m, v, count_stem)
             else:
                 sc, bi, m, v = bn1(None, None)
             a, b = fold_bn(m, v, sc, bi)

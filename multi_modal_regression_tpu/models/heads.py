@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multi_modal_regression_tpu import EPS
+from multi_modal_regression_tpu.models.norm import TorchBatchNorm
 
 
 def torch_linear_init(fan_in: int):
@@ -129,7 +130,7 @@ class MultiHeadMLP(nn.Module):
                 ).astype(self.dtype)
                 x = x + bias[:, None, :]
             else:
-                x = nn.BatchNorm(
+                x = TorchBatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,
@@ -171,7 +172,7 @@ class SharedMLP(nn.Module):
                 name=f"fc{li + 1}",
             )(x)
             if not last:
-                x = nn.BatchNorm(
+                x = TorchBatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5,
                     dtype=self.dtype, name=f"bn{li + 1}",
                 )(x)

@@ -167,3 +167,38 @@ def test_quat_nonlinearity_unit_norm(rng):
     variables = model.init(jax.random.PRNGKey(0), x, label, train=False)
     q = model.apply(variables, x, label, train=False)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(q), axis=-1), 1.0, rtol=1e-5)
+
+
+def test_batchnorm_running_stats_match_torch(rng):
+    """TorchBatchNorm's running-stat update == torch.nn.BatchNorm (Bessel-
+    corrected running variance — the flax default's biased update diverges
+    by (n-1)/n, ~1% at head-bank batch sizes; models/norm.py)."""
+    import torch
+
+    from multi_modal_regression_tpu.models.norm import TorchBatchNorm
+
+    n, feat = 10, 7
+    bn_j = TorchBatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    bn_t = torch.nn.BatchNorm1d(feat, momentum=0.1, eps=1e-5)
+    bn_t.train()
+    x0 = rng.standard_normal((n, feat)).astype(np.float32)
+    variables = bn_j.init(jax.random.PRNGKey(0), jnp.asarray(x0))
+    for i in range(3):
+        x = (rng.standard_normal((n, feat)) * (1.5 + i)).astype(np.float32)
+        y_j, variables = bn_j.apply(
+            variables, jnp.asarray(x), mutable=["batch_stats"]
+        )
+        variables = {"params": bn_j.init(jax.random.PRNGKey(0), jnp.asarray(x0))["params"], **variables}
+        with torch.no_grad():
+            y_t = bn_t(torch.from_numpy(x))
+        np.testing.assert_allclose(
+            np.asarray(y_j), y_t.numpy(), rtol=1e-5, atol=1e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["mean"]),
+        bn_t.running_mean.numpy(), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["var"]),
+        bn_t.running_var.numpy(), rtol=1e-5, atol=1e-6,
+    )

@@ -1,0 +1,405 @@
+"""Cross-framework training-dynamics parity: the reference's OWN torch
+modules vs this framework's compiled train step.
+
+The strongest acceptance-gate evidence obtainable without the PASCAL3D+
+artifacts: assemble the reference training loop from the reference's own
+code — `binDeltaModels.OneBinDeltaModel` / `OneDeltaPerBinModel`
+(binDeltaModels.py:99-151), `axisAngle.geodesic_loss` (axisAngle.py:103-120),
+torch.optim.Adam at init_lr with the host-lagged self-balance scalar and the
+warmup->main phase transition (learnGeodesicBDModel.py:106-205) — and run it
+head-to-head against `Trainer`'s compiled step from IDENTICAL initial
+weights (converted with models.pretrained.load_reference_bd_checkpoint) on
+identical batches. Multi-step loss/Lc/Lr/s trajectories and the final
+parameters must agree within float-accumulation tolerance.
+
+What this certifies by measurement (previously only by construction):
+  - Adam update math (bias correction, eps placement) == torch.optim.Adam
+  - the one-step-lagged `s` protocol in both its warm-up and main forms
+  - warmup (CE + MSE on residuals) -> main (CE + geodesic on decoded pose)
+    phase semantics including the s reset between phases
+  - train-mode BatchNorm batch-statistics use in backbone and head banks
+  - the einsum head banks == the reference's per-class ModuleList loop
+  - hard_bin_targets == the host-side kmeans assignment protocol
+
+torchvision is not installed; the backbone is a torch resnet18 built here
+with torchvision's module names (the same synthesized-state-dict convention
+as test_pretrained.py) and injected as the reference model's feature_model
+(the reference wraps torchvision children in nn.Sequential the same way,
+featureModels.py:34-41).
+"""
+
+import math
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+from torch import nn
+
+from multi_modal_regression_tpu.data.loader import IMAGENET_MEAN, IMAGENET_STD
+from multi_modal_regression_tpu.data.targets import euler_to_pose
+from multi_modal_regression_tpu.dictionary.kmeans import KMeansDictionary
+from multi_modal_regression_tpu.models.pretrained import (
+    load_reference_bd_checkpoint,
+)
+from multi_modal_regression_tpu.parallel.mesh import (
+    make_mesh,
+    replicated_sharding,
+)
+from multi_modal_regression_tpu.train import get_config
+from multi_modal_regression_tpu.train.trainer import Trainer
+
+REFERENCE = "/root/reference"
+HAS_REFERENCE = os.path.isdir(REFERENCE)
+
+pytestmark = pytest.mark.skipif(
+    not HAS_REFERENCE, reason="reference repo not mounted"
+)
+
+C, K, NDIM = 12, 8, 3
+N0, N1, N2, N3 = 512, 32, 16, 12
+SIZE, B = 32, 12
+N_WARMUP, N_MAIN, N_BATCHES = 4, 6, 3
+
+
+# ---------------------------------------------------------------------------
+# reference-module import (torchvision stubbed, .cuda() no-op'd)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_modules(request):
+    """Import the reference's binDeltaModels + axisAngle with a torchvision
+    stub (featureModels.py imports it at module scope) and .cuda() patched
+    to a no-op (the reference hard-codes .cuda() in __init__/forward,
+    binDeltaModels.py:106-117 — this box is CPU-only torch)."""
+    stub = types.ModuleType("torchvision")
+    stub.models = types.ModuleType("torchvision.models")
+    stub.transforms = types.ModuleType("torchvision.transforms")
+    saved = {
+        k: sys.modules.get(k)
+        for k in ("torchvision", "torchvision.models", "torchvision.transforms")
+    }
+    sys.modules["torchvision"] = stub
+    sys.modules["torchvision.models"] = stub.models
+    sys.modules["torchvision.transforms"] = stub.transforms
+    sys.path.insert(0, REFERENCE)
+    module_cuda = nn.Module.cuda
+    tensor_cuda = torch.Tensor.cuda
+    nn.Module.cuda = lambda self, *a, **k: self
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        import axisAngle
+        import binDeltaModels
+
+        yield binDeltaModels, axisAngle
+    finally:
+        nn.Module.cuda = module_cuda
+        torch.Tensor.cuda = tensor_cuda
+        sys.path.remove(REFERENCE)
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+        for k in ("axisAngle", "binDeltaModels", "featureModels", "helperFunctions"):
+            sys.modules.pop(k, None)
+
+
+# ---------------------------------------------------------------------------
+# torch resnet18 with torchvision names (the reference feature_model shape)
+# ---------------------------------------------------------------------------
+
+
+class _BasicBlock(nn.Module):
+    """torchvision BasicBlock layout (conv1/bn1/conv2/bn2/downsample)."""
+
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.downsample = (
+            nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout),
+            )
+            if stride != 1 or cin != cout
+            else None
+        )
+
+    def forward(self, x):
+        res = x if self.downsample is None else self.downsample(x)
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return torch.relu(y + res)
+
+
+class TorchResNet18Features(nn.Module):
+    """The reference's resnet feature wrapper (featureModels.py:34-41):
+    nn.Sequential of [conv1, bn1, relu, maxpool, layer1..layer4] named
+    `features`, followed by global average pooling to (B, 512)."""
+
+    def __init__(self):
+        super().__init__()
+        widths = [64, 128, 256, 512]
+        layers = []
+        cin = 64
+        for si, w in enumerate(widths):
+            blocks = []
+            for bi in range(2):
+                blocks.append(
+                    _BasicBlock(cin if bi == 0 else w, w, 2 if si > 0 and bi == 0 else 1)
+                )
+                cin = w
+            layers.append(nn.Sequential(*blocks))
+        self.features = nn.Sequential(
+            nn.Conv2d(3, 64, 7, 2, 3, bias=False),
+            nn.BatchNorm2d(64),
+            nn.ReLU(inplace=True),
+            nn.MaxPool2d(3, 2, 1),
+            *layers,
+        )
+
+    def forward(self, x):
+        x = self.features(x)
+        return x.mean(dim=(2, 3))
+
+
+# ---------------------------------------------------------------------------
+# shared fixtures: batches + the reference training loop
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def centers():
+    rng = np.random.default_rng(3)
+    return (0.8 * rng.standard_normal((K, NDIM))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def batches(centers):
+    """N_BATCHES fixed batches in both frameworks' native forms."""
+    rng = np.random.default_rng(7)
+    out = []
+    for _ in range(N_BATCHES):
+        xdata = rng.integers(0, 256, (B, SIZE, SIZE, 3), np.uint8)
+        euler = rng.uniform(-60, 60, (B, 3)).astype(np.float32)
+        label = (np.arange(B) % C).astype(np.int32)
+        y = np.asarray(euler_to_pose(jnp.asarray(euler), "axis_angle"))
+        d2 = ((y[:, None, :] - centers[None]) ** 2).sum(-1)
+        bins = np.argmin(d2, axis=-1)
+        res = y - centers[bins]
+        xn = (xdata.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        out.append(
+            dict(
+                jax={"xdata": xdata, "euler": euler, "label": label},
+                x_t=torch.from_numpy(np.transpose(xn, (0, 3, 1, 2))).contiguous(),
+                label_t=torch.from_numpy(label.astype(np.int64)[:, None]),
+                bins_t=torch.from_numpy(bins.astype(np.int64)),
+                res_t=torch.from_numpy(res.astype(np.float32)),
+                y_t=torch.from_numpy(y.astype(np.float32)),
+            )
+        )
+    return out
+
+
+def run_reference_loop(model, batches, centers, geodesic_loss_cls, lr=1e-4):
+    """The reference training protocol, verbatim semantics
+    (learnGeodesicBDModel.py:96-205,240): Adam over all params, warm-up
+    phase with Lc + 0.5*exp(-2s)*MSE + s and s' = 0.5*log(Lr), then s reset
+    to 0 and the main phase with Lc + exp(-s)*geodesic(decoded) + s and
+    s' = log(Lr); `s` always enters the loss as the PREVIOUS step's host
+    float."""
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    ce = nn.CrossEntropyLoss()
+    mse = nn.MSELoss()
+    gve = geodesic_loss_cls()
+    centers_t = torch.from_numpy(centers)
+    traj = []
+    model.train()
+    s = 0.0
+    for i in range(N_WARMUP):
+        b = batches[i % len(batches)]
+        out = model(b["x_t"], b["label_t"])
+        Lc = ce(out[0], b["bins_t"])
+        Lr = mse(out[1], b["res_t"])
+        loss = Lc + 0.5 * math.exp(-2 * s) * Lr + s
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        s = 0.5 * math.log(Lr.item())
+        traj.append(
+            dict(loss=loss.item(), lc=Lc.item(), lr=Lr.item(), s=s)
+        )
+    s = 0.0  # reset between phases (learnGeodesicBDModel.py:240)
+    for i in range(N_MAIN):
+        b = batches[i % len(batches)]
+        out = model(b["x_t"], b["label_t"])
+        _, ind = torch.max(out[0], dim=1)
+        ypred = torch.index_select(centers_t, 0, ind) + out[1]
+        Lc = ce(out[0], b["bins_t"])
+        Lr = gve(ypred, b["y_t"])
+        loss = Lc + math.exp(-s) * Lr + s
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        s = math.log(Lr.item())
+        traj.append(
+            dict(loss=loss.item(), lc=Lc.item(), lr=Lr.item(), s=s)
+        )
+    return traj
+
+
+def run_jax_loop(cfg, centers, batches, init_variables):
+    """The same protocol through Trainer's compiled warmup/main steps."""
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=init_variables["params"],
+        batch_stats=init_variables["batch_stats"],
+    )
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj = []
+    step = trainer.train_step_fn("warmup")
+    for i in range(N_WARMUP):
+        b = trainer.shard_batch(batches[i % len(batches)]["jax"])
+        state, metrics = step(state, b)
+        traj.append({k: float(v) for k, v in metrics.items()})
+    state = state.replace(s=jnp.zeros((), jnp.float32))
+    step = trainer.train_step_fn("main")
+    for i in range(N_MAIN):
+        b = trainer.shard_batch(batches[i % len(batches)]["jax"])
+        state, metrics = step(state, b)
+        traj.append({k: float(v) for k, v in metrics.items()})
+    return traj, jax.device_get(state)
+
+
+def assert_trajectories_match(traj_ref, traj_jax, n_strict=N_WARMUP + 2):
+    """Per-step agreement with a float-accumulation growth schedule: the
+    frameworks share initial weights and batches, so step 0 differs only by
+    reduction order (~1e-5 relative); each Adam step then amplifies the
+    divergence a few-fold (eps-dominated early second moments — the same
+    growth measured between XLA mesh layouts in __graft_entry__.py). A
+    semantic mismatch (wrong bias correction, un-lagged s, wrong BN mode,
+    wrong loss form) shows up as an O(1) break in the first step or two.
+
+    Steps >= n_strict (warmup + 2 main steps — past every semantic
+    transition) get only a gross-break bound: the main phase's
+    `centers[argmax(scores)]` decode is discontinuous, so once accumulated
+    drift crosses a near-tied score margin a single bin flip steps Lr by
+    O(10%) (measured at step 6 with this seed) while both loops stay
+    semantically identical — chaos amplification, not a parity gap."""
+    assert len(traj_ref) == len(traj_jax)
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        rtol = min(2e-3 * (2.0 ** t), 0.05) if t < n_strict else 0.35
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=rtol, atol=rtol,
+                err_msg=f"step {t} metric '{k}' diverged (torch vs jax)",
+            )
+
+
+def _max_abs_err(tree_a, tree_b):
+    leaves_a, leaves_b = jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)
+    assert len(leaves_a) == len(leaves_b) and leaves_a
+    return max(
+        np.abs(np.asarray(a) - np.asarray(b)).max()
+        for a, b in zip(leaves_a, leaves_b)
+    )
+
+
+def assert_final_states_match(final_state, final_ref, lr):
+    """Post-training params agree to an ABSOLUTE bound of a few Adam steps:
+    each Adam update displaces a parameter by ~lr, so even after the
+    argmax-decode bin flip (gradients then differ O(1) for the ~4 tail
+    steps) the frameworks' params can only be ~4*2*lr apart. A wrong
+    update rule (eps placement, bias correction, weight decay) breaks this
+    by the full 10-step displacement. BN running stats (EMAs of forward
+    batch statistics, barely touched by the tail drift) must agree tightly
+    — this cross-checks the Bessel-corrected running-var update
+    (models/norm.py) against torch's own."""
+    assert _max_abs_err(final_state.params, final_ref["params"]) < 20 * lr
+    for a, b in zip(
+        jax.tree.leaves(final_state.batch_stats),
+        jax.tree.leaves(final_ref["batch_stats"]),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 0.05)
+        # post-flip activation drift perturbs a FEW elements by up to ~7%
+        # of scale (chaos); a biased (flax-default) running-var update
+        # would shift EVERY head-bank var element systematically by
+        # (1-0.9^10)*(B/(B-1)-1) ~ 6% at B=12. Median deviation separates
+        # the two; the max bound catches gross breaks.
+        rel = np.abs(a - b) / (np.abs(b) + 0.05 * scale)
+        assert np.median(rel) < 2e-2, f"systematic batch_stats shift: {np.median(rel)}"
+        assert rel.max() < 0.5, f"batch_stats gross break: {rel.max()}"
+
+
+def _torch_seed_all(seed):
+    torch.manual_seed(seed)
+
+
+# ---------------------------------------------------------------------------
+# the tests
+# ---------------------------------------------------------------------------
+
+
+def _make_cfg(preset):
+    return get_config(
+        preset,
+        feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, N3=N3, dict_size=K, image_size=SIZE,
+        compute_dtype="float32",
+        optimizer_dtype="float32",  # bit-match torch.optim.Adam
+    )
+
+
+def test_geodesic_bd_dynamics_match_reference(ref_modules, centers, batches):
+    binDeltaModels, axisAngle = ref_modules
+    _torch_seed_all(0)
+    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    model.feature_model = TorchResNet18Features()
+
+    cfg = _make_cfg("geodesic_bd")
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    traj_jax, final_state = run_jax_loop(cfg, centers, batches, variables)
+    traj_ref = run_reference_loop(
+        model, batches, centers, axisAngle.geodesic_loss, lr=cfg.init_lr
+    )
+    assert_trajectories_match(traj_ref, traj_jax)
+
+    # final parameters: convert the post-training torch state and compare
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert_final_states_match(final_state, final_ref, cfg.init_lr)
+
+
+def test_geodesic_bd_multires_dynamics_match_reference(
+    ref_modules, centers, batches
+):
+    binDeltaModels, axisAngle = ref_modules
+    _torch_seed_all(1)
+    model = binDeltaModels.OneDeltaPerBinModel(
+        "none", C, K, N0, N1, N2, N3, NDIM
+    )
+    model.feature_model = TorchResNet18Features()
+
+    cfg = _make_cfg("geodesic_bd_multires")
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    traj_jax, final_state = run_jax_loop(cfg, centers, batches, variables)
+    traj_ref = run_reference_loop(
+        model, batches, centers, axisAngle.geodesic_loss, lr=cfg.init_lr
+    )
+    assert_trajectories_match(traj_ref, traj_jax)
+
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert_final_states_match(final_state, final_ref, cfg.init_lr)
