@@ -1,0 +1,175 @@
+"""Host input-pipeline throughput: can the loader out-run the chip?
+
+The device consumes ~2400 img/s at 224 px (BENCH_r03); the reference feeds
+its GPU from DataLoader worker processes (learnGeodesicBDModel.py:78-79),
+this framework from PIL decode threads (data/loader.py). Every throughput
+number recorded before round 4 used device-resident batches — this bench
+measures the PURE HOST side: decode+resize+collate img/s of
+BalancedLoader / TestLoader over a generated 224-px PNG tree, swept over
+worker counts, with no device in the loop. It also measures the packed
+uint8 shard cache (data/packed.py) — the TPU-native analog of the
+reference's pre-decoded .mat crop protocol (setupDataOriginal_pascal3d.m:
+73-124) — which replaces per-image PNG decode with memmap slice reads.
+
+Usage: python benchmarks/bench_loader.py [--image-size 224]
+           [--images-per-class 48] [--items-per-batch 8]
+           [--workers 1 2 4 8 16] [--batches 24] [--no-packed]
+
+Prints one JSON line per measurement row.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # host-only bench: never touch TPU
+
+import numpy as np  # noqa: E402
+
+
+def build_tree(root: Path, image_size: int, images_per_class: int) -> Path:
+    """Synthetic 12-class PNG tree at the experiment resolution (reused
+    across runs; keyed by size/count so changing flags regenerates)."""
+    from multi_modal_regression_tpu.tools.synthetic import generate_pose_dataset
+
+    tree = root / f"tree_{image_size}px_{images_per_class}pc"
+    marker = tree / ".complete"
+    if not marker.exists():
+        t0 = time.perf_counter()
+        generate_pose_dataset(
+            tree,
+            images_per_class=images_per_class,
+            image_size=image_size,
+            pattern="noise",
+            seed=0,
+        )
+        marker.touch()
+        print(
+            f"# generated {tree} in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    return tree
+
+
+def cycle(loader):
+    """Chain epochs like a training loop does (each epoch restart pays the
+    loader's real thread-pool spin-up, so multi-epoch rates are honest)."""
+    while True:
+        yield from loader
+
+
+def drain(loader, batches: int, warmup: int = 2) -> tuple[float, int]:
+    """(seconds, images) over `batches` steady-state batches (first
+    `warmup` batches excluded — thread-pool spin-up and queue fill)."""
+    n_img = 0
+    t0 = None
+    done = 0
+    it = cycle(loader)
+    for batch in it:
+        done += 1
+        if done == warmup:
+            t0 = time.perf_counter()
+            continue
+        if t0 is not None:
+            n_img += len(batch["xdata"])
+            if done >= warmup + batches:
+                break
+    dt = time.perf_counter() - t0
+    it.close()
+    return dt, n_img
+
+
+def row(kind: str, workers: int, img_s: float, batch_images: int, note: str = ""):
+    print(
+        json.dumps(
+            {
+                "loader": kind,
+                "workers": workers,
+                "img_per_s": round(img_s, 1),
+                "batch_images": batch_images,
+                "vs_chip_2400": round(img_s / 2400.0, 2),
+                **({"note": note} if note else {}),
+            }
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--images-per-class", type=int, default=48)
+    ap.add_argument("--items-per-batch", type=int, default=8)
+    ap.add_argument("--workers", type=int, nargs="+", default=[1, 2, 4, 8, 16])
+    ap.add_argument("--batches", type=int, default=24)
+    ap.add_argument("--root", default="/tmp/bench_loader")
+    ap.add_argument("--no-packed", action="store_true")
+    args = ap.parse_args()
+
+    from multi_modal_regression_tpu.data.index import (
+        ClassBalancedIndex,
+        FlatTestIndex,
+    )
+    from multi_modal_regression_tpu.data.loader import BalancedLoader, TestLoader
+
+    tree = build_tree(
+        Path(args.root), args.image_size, args.images_per_class
+    )
+    index = ClassBalancedIndex(db_path=str(tree), db_type="real")
+
+    for w in args.workers:
+        loader = BalancedLoader(
+            index,
+            items_per_batch=args.items_per_batch,
+            image_size=args.image_size,
+            num_workers=w,
+            seed=0,
+        )
+        dt, n = drain(loader, args.batches)
+        row("balanced_png", w, n / dt, loader.batch_images)
+
+    flat = FlatTestIndex(db_path=str(tree))
+    for w in args.workers:
+        tl = TestLoader(
+            flat, batch_size=96, image_size=args.image_size, num_workers=w
+        )
+        dt, n = drain(tl, args.batches)
+        row("test_png", w, n / dt, 96)
+
+    if args.no_packed:
+        return
+
+    from multi_modal_regression_tpu.data.packed import (
+        PackedBalancedLoader,
+        pack_index,
+    )
+
+    pack_dir = tree.parent / (tree.name + "_packed")
+    t0 = time.perf_counter()
+    pack = pack_index(index, pack_dir, image_size=args.image_size, num_workers=8)
+    print(
+        f"# pack_index: {time.perf_counter() - t0:.1f}s (cached after first run)",
+        file=sys.stderr,
+    )
+    for w in args.workers:
+        pl = PackedBalancedLoader(
+            index,
+            pack,
+            items_per_batch=args.items_per_batch,
+            num_workers=w,
+            seed=0,
+        )
+        dt, n = drain(pl, args.batches)
+        row("balanced_packed", w, n / dt, pl.batch_images)
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,15 @@ def _add_common_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mat-split", choices=("val", "test"), default="test",
                    help="'val' = pascal_train crops (ablation model "
                         "selection), 'test' = pascal_val")
+    p.add_argument("--packed-cache", type=str, default=None,
+                   help="pre-decoded uint8 crop cache (data/packed.py): "
+                        "'auto' packs into <data-root>/.packed on first "
+                        "use and reuses it after, or give an explicit "
+                        "cache root. Replaces per-image PNG decodes with "
+                        "memmap gathers (~16x host throughput, "
+                        "benchmarks/bench_loader.py). balanced/filenames "
+                        "protocols only; ignored with a warning for "
+                        "flat/mat.")
 
 
 def _add_config_overrides(p: argparse.ArgumentParser) -> None:
@@ -83,6 +92,17 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
                    choices=("float32", "bfloat16"),
                    help="Adam first-moment storage (bfloat16 default; "
                         "float32 = reference-exact torch.optim.Adam)")
+    p.add_argument("--lr-scaling", type=str, default=None,
+                   choices=("none", "linear", "sqrt"),
+                   help="global-batch LR rule: scale init_lr by "
+                        "(items-per-batch/8) [linear] or its sqrt when "
+                        "scaling the step out over a dp mesh (SCALING.md)")
+    p.add_argument("--frozen-bn", action="store_true", default=None,
+                   help="SEMANTICS-CHANGING fast mode: BatchNorm stays in "
+                        "eval mode during training (running stats; the "
+                        "model.eval() fine-tune quirk of "
+                        "learnSimpleBDModel_rene.py:133) — for fine-tuning "
+                        "converged models, e.g. snapshot-ensemble eval")
     p.add_argument("--device-resize-from", type=int, default=None,
                    help="ship raw images at this size; resize on device")
     p.add_argument("--train-flip", action="store_true", default=None,
@@ -103,7 +123,7 @@ _OVERRIDE_FIELDS = (
     "num_epochs", "num_warmup_epochs", "max_iterations",
     "items_per_batch", "image_size", "feature_network", "feature_layer",
     "multires", "compute_dtype", "device_resize_from", "train_flip",
-    "remat", "optimizer_dtype",
+    "remat", "optimizer_dtype", "lr_scaling", "frozen_bn",
 )
 
 
@@ -180,6 +200,15 @@ def _classes_from_args(args):
     return PASCAL3D_CLASSES
 
 
+def _packed_cache_dir(args, load_size: int, subdir: str) -> Path:
+    base = (
+        Path(args.data_root) / ".packed"
+        if args.packed_cache == "auto"
+        else Path(args.packed_cache)
+    )
+    return base / f"{subdir}_{load_size}px"
+
+
 def _make_test_loader(args, cfg, classes, load_size,
                       host_count: int = 1, host_index: int = 0):
     from multi_modal_regression_tpu.data import FlatTestIndex, MatCropIndex, TestLoader
@@ -188,6 +217,9 @@ def _make_test_loader(args, cfg, classes, load_size,
     hosts = dict(host_count=host_count, host_index=host_index)
     root = Path(args.data_root)
     if getattr(args, "test_protocol", "filenames") == "mat":
+        if getattr(args, "packed_cache", None):
+            print("--packed-cache: mat test protocol not packed; using "
+                  ".mat crops directly", flush=True)
         mat_root = args.mat_root or str(root / "original")
         return MatCropLoader(
             MatCropIndex(mat_root, args.mat_split, classes=classes),
@@ -198,9 +230,20 @@ def _make_test_loader(args, cfg, classes, load_size,
             image_size=cfg.image_size,
             num_workers=args.num_workers, **hosts,
         )
+    index = FlatTestIndex(str(root / args.test_subdir), classes=classes)
+    if getattr(args, "packed_cache", None):
+        from multi_modal_regression_tpu.data import PackedTestLoader, pack_index
+
+        pack = pack_index(
+            index, _packed_cache_dir(args, load_size, args.test_subdir),
+            image_size=load_size, num_workers=args.num_workers,
+        )
+        return PackedTestLoader(
+            index, pack, batch_size=cfg.eval_batch, **hosts
+        )
     return TestLoader(
-        FlatTestIndex(str(root / args.test_subdir), classes=classes),
-        cfg.eval_batch, load_size, num_workers=args.num_workers, **hosts,
+        index, cfg.eval_batch, load_size,
+        num_workers=args.num_workers, **hosts,
     )
 
 
@@ -248,6 +291,9 @@ def _make_loaders(args, cfg, host_count: int = 1, host_index: int = 0):
     load_size = cfg.device_resize_from or cfg.image_size
     root = Path(args.data_root)
     if protocol == "flat":
+        if getattr(args, "packed_cache", None):
+            print("--packed-cache: flat protocol not packed; using PNG "
+                  "loader", flush=True)
         # single shuffled flat train loader over <root>/train, test over
         # <root>/test (learnObjectnetBDModel.py:50-51,74-75)
         train = FlatLoader(
@@ -261,23 +307,35 @@ def _make_loaders(args, cfg, host_count: int = 1, host_index: int = 0):
     # --train-data selects real/render/both (the ablationGBDAugmentation.py
     # --type protocol; 'both' is the standard two-loader training)
     which = getattr(args, "train_data", "both")
+
+    def balanced(subdir: str, db_type: str):
+        index = ClassBalancedIndex(
+            str(root / subdir), db_type, classes=classes
+        )
+        if getattr(args, "packed_cache", None):
+            from multi_modal_regression_tpu.data import (
+                PackedBalancedLoader,
+                pack_index,
+            )
+
+            pack = pack_index(
+                index, _packed_cache_dir(args, load_size, subdir),
+                image_size=load_size, num_workers=args.num_workers,
+            )
+            return PackedBalancedLoader(
+                index, pack, items_per_batch=cfg.items_per_batch,
+                seed=cfg.seed, **hosts,
+            )
+        return BalancedLoader(
+            index, cfg.items_per_batch, load_size,
+            num_workers=args.num_workers, seed=cfg.seed, **hosts,
+        )
+
     real = render = None
     if which in ("both", "real"):
-        real = BalancedLoader(
-            ClassBalancedIndex(
-                str(root / args.real_subdir), "real", classes=classes
-            ),
-            cfg.items_per_batch, load_size,
-            num_workers=args.num_workers, seed=cfg.seed, **hosts,
-        )
+        real = balanced(args.real_subdir, "real")
     if which in ("both", "render"):
-        render = BalancedLoader(
-            ClassBalancedIndex(
-                str(root / args.render_subdir), "render", classes=classes
-            ),
-            cfg.items_per_batch, load_size,
-            num_workers=args.num_workers, seed=cfg.seed, **hosts,
-        )
+        render = balanced(args.render_subdir, "render")
     if real is None:  # render-only: it drives the loop
         real, render = render, None
     return real, render, _make_test_loader(

@@ -21,6 +21,12 @@ from multi_modal_regression_tpu.data.loader import (
     decode_image,
     normalize_images,
 )
+from multi_modal_regression_tpu.data.packed import (
+    PackedBalancedLoader,
+    PackedCrops,
+    PackedTestLoader,
+    pack_index,
+)
 from multi_modal_regression_tpu.data.targets import (
     euler_to_pose,
     gmm_log_responsibilities,
@@ -48,6 +54,10 @@ __all__ = [
     "TestLoader",
     "decode_image",
     "normalize_images",
+    "PackedBalancedLoader",
+    "PackedCrops",
+    "PackedTestLoader",
+    "pack_index",
     "euler_to_pose",
     "gmm_log_responsibilities",
     "gmm_soft_targets",

@@ -1,0 +1,210 @@
+"""Pre-decoded uint8 crop cache: the TPU-native .mat-crop protocol.
+
+The reference ships a pre-decoded fast path — setupDataOriginal_pascal3d.m:
+73-124 writes 224x224 crops into per-image .mat files that Pascal3dAll then
+reads without touching PNG/JPEG (dataGenerators.py:80-124). The PNG loaders
+here (data/loader.py) pay a per-image PIL decode that measures ~150 img/s
+on a loaded host (benchmarks/bench_loader.py) — 16x short of the ~2400
+img/s the chip consumes at 224 px. This module packs each class's images
+into ONE contiguous uint8 .npy (memmap-readable), so a training batch
+becomes a handful of page-cache slice gathers at memory bandwidth instead
+of 96 decodes.
+
+Layout: `<cache_dir>/<cls>.npy` with shape (n_images, S, S, 3) in the
+index's canonical name order, plus `meta.json` recording the source path,
+image size, and per-class name lists (used both to map shuffled names to
+rows and to detect a stale cache).
+
+`PackedBalancedLoader` / `PackedTestLoader` reproduce the exact sampling
+semantics of their PNG counterparts (class-balanced modulo cycling with
+per-class reshuffles / flat padded test batches) — they subclass the PNG
+loaders and override only the pixel source.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import json
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from multi_modal_regression_tpu.data.index import ClassBalancedIndex, FlatTestIndex
+from multi_modal_regression_tpu.data.loader import (
+    BalancedLoader,
+    TestLoader,
+    _prefetched,
+    decode_image,
+)
+
+
+class PackedCrops:
+    """Handle over a packed cache directory: per-class memmaps + name->row."""
+
+    def __init__(self, cache_dir: str | Path):
+        self.cache_dir = Path(cache_dir)
+        with open(self.cache_dir / "meta.json") as f:
+            self.meta = json.load(f)
+        self.image_size = int(self.meta["image_size"])
+        self._arrays: dict[str, np.ndarray] = {}
+        self._rows: dict[str, dict[str, int]] = {}
+        for cls, names in self.meta["classes"].items():
+            self._rows[cls] = {n: i for i, n in enumerate(names)}
+
+    def array(self, cls: str) -> np.ndarray:
+        """The class's (n, S, S, 3) uint8 memmap (opened lazily, cached)."""
+        if cls not in self._arrays:
+            self._arrays[cls] = np.load(
+                self.cache_dir / f"{cls}.npy", mmap_mode="r"
+            )
+        return self._arrays[cls]
+
+    def rows(self, cls: str, names: Sequence[str]) -> np.ndarray:
+        r = self._rows[cls]
+        return np.asarray([r[n] for n in names], np.int64)
+
+    def matches(self, db_path: str, classes: Sequence[str], image_size: int) -> bool:
+        return (
+            self.image_size == int(image_size)
+            and self.meta.get("db_path") == str(db_path)
+            and list(self.meta["classes"].keys()) == list(classes)
+        )
+
+
+def pack_index(
+    index: ClassBalancedIndex | FlatTestIndex,
+    cache_dir: str | Path,
+    image_size: int = 224,
+    num_workers: int = 8,
+) -> PackedCrops:
+    """Decode every image of `index` once into `<cache_dir>/<cls>.npy`.
+
+    Idempotent: if a cache with matching source/classes/size exists it is
+    reused. Works for both index kinds (per-class name lists either way).
+    """
+    cache_dir = Path(cache_dir)
+    if (cache_dir / "meta.json").exists():
+        pack = PackedCrops(cache_dir)
+        if pack.matches(index.db_path, index.classes, image_size):
+            return pack
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    if isinstance(index, ClassBalancedIndex):
+        per_class = {
+            cls: [str(n) for n in names]
+            for cls, names in zip(index.classes, index.list_image_names)
+        }
+    else:
+        per_class = {
+            cls: [
+                str(n)
+                for n, l in zip(index.image_names, index.labels)
+                if index.classes[l] == cls
+            ]
+            for cls in index.classes
+        }
+    with cf.ThreadPoolExecutor(num_workers) as pool:
+        for cls, names in per_class.items():
+            out = np.empty((len(names), image_size, image_size, 3), np.uint8)
+            paths = [
+                str(Path(index.db_path) / cls / f"{n}.png") for n in names
+            ]
+            for i, img in enumerate(
+                pool.map(lambda p: decode_image(p, image_size), paths)
+            ):
+                out[i] = img
+            np.save(cache_dir / f"{cls}.npy", out)
+    meta = {
+        "db_path": str(index.db_path),
+        "image_size": int(image_size),
+        "classes": per_class,
+    }
+    with open(cache_dir / "meta.json", "w") as f:
+        json.dump(meta, f)
+    return PackedCrops(cache_dir)
+
+
+class PackedBalancedLoader(BalancedLoader):
+    """BalancedLoader with pixels from a PackedCrops cache.
+
+    Sampling semantics (per-class modulo cycling, independent reshuffles,
+    host striding, batch layout) are inherited unchanged — only
+    `_make_batch` swaps 96 PNG decodes for per-class memmap gathers.
+    """
+
+    def __init__(self, index: ClassBalancedIndex, pack: PackedCrops, **kwargs):
+        kwargs.setdefault("num_workers", 1)  # gathers are memcpy-bound
+        kwargs.setdefault("image_size", pack.image_size)
+        super().__init__(index, **kwargs)
+        if self.image_size != pack.image_size:
+            raise ValueError(
+                f"pack is {pack.image_size}px, loader wants {self.image_size}px"
+            )
+        self.pack = pack
+
+    def _make_batch(self, item_ids: np.ndarray, pool: cf.Executor) -> dict:
+        idx = self.index
+        C = idx.num_classes
+        ipb = len(item_ids)
+        S = self.image_size
+        x = np.empty((ipb, C, S, S, 3), np.uint8)
+        eulers = np.empty((ipb, C, 3), np.float32)
+        for c in range(C):
+            names = [
+                str(idx.image_names[c][int(i) % idx.num_images[c]])
+                for i in item_ids
+            ]
+            rows = self.pack.rows(idx.classes[c], names)
+            x[:, c] = self.pack.array(idx.classes[c])[rows]
+        for j, i in enumerate(item_ids):
+            eulers[j] = idx.item_euler(int(i))
+        labels = np.tile(np.arange(C, dtype=np.int32), ipb)
+        return {
+            "xdata": x.reshape(ipb * C, S, S, 3),
+            "euler": eulers.reshape(ipb * C, 3),
+            "label": labels,
+        }
+
+
+class PackedTestLoader(TestLoader):
+    """TestLoader with pixels from a PackedCrops cache (same padding/valid
+    semantics and host striding; flat row order inherited)."""
+
+    def __init__(self, index: FlatTestIndex, pack: PackedCrops, **kwargs):
+        kwargs.setdefault("num_workers", 1)
+        kwargs.setdefault("image_size", pack.image_size)
+        super().__init__(index, **kwargs)
+        if self.image_size != pack.image_size:
+            raise ValueError(
+                f"pack is {pack.image_size}px, loader wants {self.image_size}px"
+            )
+        self.pack = pack
+
+    def _gen(self, pool: cf.Executor) -> Iterator[dict]:
+        all_ids = self._ids()
+        n = len(all_ids)
+        S = self.image_size
+        for start in range(0, n, self.batch_size):
+            ids = all_ids[start : start + self.batch_size]
+            xdata = np.empty((len(ids), S, S, 3), np.uint8)
+            for j, i in enumerate(ids):
+                cls = self.index.classes[self.index.labels[int(i)]]
+                row = self.pack.rows(cls, [str(self.index.image_names[int(i)])])[0]
+                xdata[j] = self.pack.array(cls)[row]
+            euler = np.stack(
+                [self.index.euler(int(i)) for i in ids]
+            ).astype(np.float32)
+            label = self.index.labels[ids].astype(np.int32)
+            valid = np.ones(len(ids), bool)
+            pad = self.batch_size - len(ids)
+            if pad:
+                xdata = np.concatenate(
+                    [xdata, np.zeros((pad, S, S, 3), np.uint8)]
+                )
+                euler = np.concatenate([euler, np.zeros((pad, 3), np.float32)])
+                label = np.concatenate([label, np.zeros(pad, np.int32)])
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+            yield {"xdata": xdata, "euler": euler, "label": label, "valid": valid}
+
+    def __iter__(self) -> Iterator[dict]:
+        yield from _prefetched(self._gen, self.num_workers, self.prefetch_depth)

@@ -362,3 +362,34 @@ def test_every_registered_config_flag_is_forwarded():
     )
     # and the forward list only names real config fields
     assert set(_OVERRIDE_FIELDS) <= cfg_fields
+
+
+def test_train_packed_cache(data_root, dictionary_file, tmp_path):
+    """--packed-cache auto: packs the crop trees on first use, trains from
+    the memmap gathers (data/packed.py), and reuses the cache on rerun."""
+    rc = main([
+        "train", "--preset", "simple_bd",
+        "--data-root", str(data_root),
+        "--dictionary", str(dictionary_file),
+        "--dict-size", "4",
+        "--workdir", str(tmp_path / "packed_run"),
+        "--packed-cache", "auto",
+        *TINY_OVERRIDES,
+    ])
+    assert rc == 0
+    cache = data_root / ".packed"
+    assert (cache / "augmented2_32px" / "meta.json").exists()
+    assert (cache / "test_32px" / "meta.json").exists()
+    # rerun reuses the cache (no repack: npy mtimes unchanged)
+    mtimes = {p: p.stat().st_mtime_ns for p in cache.rglob("*.npy")}
+    rc = main([
+        "train", "--preset", "simple_bd",
+        "--data-root", str(data_root),
+        "--dictionary", str(dictionary_file),
+        "--dict-size", "4",
+        "--workdir", str(tmp_path / "packed_run2"),
+        "--packed-cache", "auto",
+        *TINY_OVERRIDES,
+    ])
+    assert rc == 0
+    assert mtimes == {p: p.stat().st_mtime_ns for p in cache.rglob("*.npy")}

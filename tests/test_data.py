@@ -270,3 +270,59 @@ def test_loader_propagates_worker_errors(dataset, tmp_path):
                             shuffle=False, num_workers=2)
     with pytest.raises(Exception):
         list(loader)
+
+
+# ---------------------------------------------------------------------------
+# packed crop cache (data/packed.py)
+# ---------------------------------------------------------------------------
+
+
+def test_packed_balanced_loader_matches_png(dataset, tmp_path):
+    """PackedBalancedLoader == BalancedLoader bit-for-bit over two epochs
+    (same seed -> same shuffles; pixels from the memmap cache instead of
+    PNG decodes)."""
+    from multi_modal_regression_tpu.data import (
+        PackedBalancedLoader,
+        pack_index,
+    )
+
+    idx_a = ClassBalancedIndex(str(dataset), "real", classes=CLASSES)
+    idx_b = ClassBalancedIndex(str(dataset), "real", classes=CLASSES)
+    pack = pack_index(idx_a, tmp_path / "cache", image_size=48, num_workers=2)
+    png = BalancedLoader(idx_b, items_per_batch=2, image_size=48, seed=3,
+                         num_workers=2)
+    packed = PackedBalancedLoader(idx_a, pack, items_per_batch=2, seed=3)
+    assert packed.image_size == 48
+    for _ in range(2):  # two epochs: covers the per-class reshuffle path
+        for bp, bq in zip(packed, png, strict=True):
+            np.testing.assert_array_equal(bp["xdata"], bq["xdata"])
+            np.testing.assert_allclose(bp["euler"], bq["euler"], rtol=1e-6)
+            np.testing.assert_array_equal(bp["label"], bq["label"])
+
+
+def test_packed_test_loader_matches_png(dataset, tmp_path):
+    from multi_modal_regression_tpu.data import PackedTestLoader, pack_index
+
+    idx = FlatTestIndex(str(dataset), classes=CLASSES)
+    pack = pack_index(idx, tmp_path / "cache", image_size=48, num_workers=2)
+    png = list(TestLoader(idx, batch_size=8, image_size=48, num_workers=2))
+    packed = list(PackedTestLoader(idx, pack, batch_size=8))
+    for bp, bq in zip(packed, png, strict=True):
+        for k in ("xdata", "label", "valid"):
+            np.testing.assert_array_equal(bp[k], bq[k])
+        np.testing.assert_allclose(bp["euler"], bq["euler"], rtol=1e-6)
+
+
+def test_pack_index_idempotent_and_stale_detection(dataset, tmp_path):
+    from multi_modal_regression_tpu.data import pack_index
+
+    idx = ClassBalancedIndex(str(dataset), "real", classes=CLASSES)
+    cache = tmp_path / "cache"
+    pack_index(idx, cache, image_size=48, num_workers=2)
+    mtimes = {p.name: p.stat().st_mtime_ns for p in cache.glob("*.npy")}
+    pack_index(idx, cache, image_size=48, num_workers=2)  # reuses
+    assert mtimes == {p.name: p.stat().st_mtime_ns for p in cache.glob("*.npy")}
+    # size change invalidates -> repack at the new size
+    pack = pack_index(idx, cache, image_size=32, num_workers=2)
+    assert pack.image_size == 32
+    assert pack.array(CLASSES[0]).shape[1:] == (32, 32, 3)
