@@ -77,6 +77,16 @@ class ExperimentConfig:
     train_only: tuple[str, ...] | None = None
     # optimization (reference defaults: learnGeodesicBDModel.py:41-42,96)
     init_lr: float = 1e-4
+    # global-batch scale-out recipe (SCALING.md): growing items_per_batch
+    # k-fold over lr_scaling_base_items (8 = the reference 96-image step)
+    # changes optimization semantics — 'linear' scales init_lr by k
+    # (Goyal et al.'s rule; convergence-validated on the 8-device mesh,
+    # tests/test_train.py), 'sqrt' by sqrt(k), 'none' leaves init_lr
+    # untouched. BN statistics stay PER-DEVICE either way (the per-shard
+    # batch is what each BatchNorm sees; dp replicas average gradients,
+    # not statistics).
+    lr_scaling: str = "none"
+    lr_scaling_base_items: int = 8
     num_warmup_epochs: int = 1
     num_epochs: int = 3
     items_per_batch: int = 8  # images/step = items_per_batch * num_classes
@@ -111,6 +121,13 @@ class ExperimentConfig:
     # (train/remat.py: none|block|stage|conv|dots|nothing) — trades idle
     # MXU FLOPs for the saved-activation HBM traffic the step is bound by
     remat: str | None = None
+    # SEMANTICS-CHANGING fast mode: train with BatchNorm in eval mode
+    # (running stats; no batch-stat computation, update, or gradient
+    # routing). torch precedent: the _rene scripts fine-tune with
+    # model.eval() active (learnSimpleBDModel_rene.py:133). Intended for
+    # fine-tuning converged models (snapshot-ensemble evaluation);
+    # measured on-chip in BASELINE.md round 4
+    frozen_bn: bool = False
     tensorboard: bool = False  # also emit TB scalars (utils.metrics_writer)
     # snapshot-ensemble evaluation (helperFunctions.py:64,112-118)
     eval_alpha1: float = 1e-6
@@ -275,6 +292,20 @@ def build_problem(cfg: ExperimentConfig, dictionary: Any = None) -> Problem:
     return problem
 
 
+def scaled_lr(cfg: ExperimentConfig) -> float:
+    """init_lr adjusted by the global-batch scaling rule (cfg.lr_scaling):
+    k = items_per_batch / lr_scaling_base_items; 'linear' -> k * init_lr,
+    'sqrt' -> sqrt(k) * init_lr, 'none' -> init_lr."""
+    if cfg.lr_scaling == "none":
+        return cfg.init_lr
+    k = cfg.items_per_batch / cfg.lr_scaling_base_items
+    if cfg.lr_scaling == "linear":
+        return cfg.init_lr * k
+    if cfg.lr_scaling == "sqrt":
+        return cfg.init_lr * float(np.sqrt(k))
+    raise ValueError(f"unknown lr_scaling {cfg.lr_scaling!r}")
+
+
 def build_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     # optimizer_dtype='bfloat16' (default) stores Adam's first moment in
     # bf16 (optax mu_dtype), cutting ~0.7 GB/step of optimizer-state HBM
@@ -283,7 +314,7 @@ def build_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     mu_dtype = (
         jnp.bfloat16 if cfg.optimizer_dtype == "bfloat16" else None
     )
-    tx = optax.adam(cfg.init_lr, mu_dtype=mu_dtype)
+    tx = optax.adam(scaled_lr(cfg), mu_dtype=mu_dtype)
     if cfg.train_only is not None:
         # freeze everything outside the named top-level param collections
         # (learnCatGivenPoseModel.py:108-126 trains only the new fc)
@@ -339,6 +370,18 @@ PRESETS: dict[str, dict] = {
     "probabilistic_bd_multires": dict(
         model_kind="probabilistic", problem="probabilistic_multires",
         multires=True, num_warmup_epochs=0,
+    ),
+    # RelaXedProbabilisticLossQ / RelaXedProbabilisticMultiresLossQ
+    # (binDeltaLosses.py:149-166,197-208) + XPBDGeneratorQ targets
+    # (binDeltaGenerators.py:86-110) — reference-dormant loss variants no
+    # learn* script invokes; preset conventions mirror probabilistic_bd
+    "probabilistic_bd_quaternion": dict(
+        model_kind="one_bin_delta", problem="probabilistic_quat", ndim=4,
+        num_warmup_epochs=0,
+    ),
+    "probabilistic_bd_quaternion_multires": dict(
+        model_kind="probabilistic", problem="probabilistic_quat_multires",
+        ndim=4, multires=True, num_warmup_epochs=0,
     ),
     # ablationXBDModel.py (RBF-relaxed soft bins)
     "relaxed_bd": dict(model_kind="one_bin_delta", problem="relaxed_kmeans"),

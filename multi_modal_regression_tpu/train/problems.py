@@ -260,6 +260,63 @@ def make_problem(
 
         return Problem(name, "axis_angle", targets, warmup, main, decode)
 
+    if name in ("probabilistic_quat", "probabilistic_quat_multires"):
+        # the reference-dormant quaternion probabilistic variants
+        # (RelaXedProbabilisticLossQ / RelaXedProbabilisticMultiresLossQ,
+        # binDeltaLosses.py:149-166,197-208 — no learn* script invokes
+        # them): quaternion dictionary via convert_dictionary, RBF soft
+        # bins over quaternion sqeuclidean distances with the soft-mean
+        # residual (XPBDGeneratorQ, binDeltaGenerators.py:86-110), KL bin
+        # term + expected quaternion geodesic under the softmax posterior.
+        Cq = convert_dictionary(jnp.asarray(centers, jnp.float32))
+        is_multires = multires or name.endswith("multires")
+
+        def targets(y):
+            soft, res = rbf_soft_targets(y, Cq, gamma=gamma)
+            return {"y": y, "soft": soft, "res": res}
+
+        def warmup(out, tg):
+            scores, residual = out
+            lc = kl_div_mean(jax.nn.log_softmax(scores, -1), tg["soft"])
+            if is_multires:
+                lr = mse(residual, tg["res"][:, None, :])
+            else:
+                lr = mse(residual, tg["res"])
+            return lc, lr
+
+        def main(out, tg):
+            scores, residual = out
+            lc = kl_div_mean(jax.nn.log_softmax(scores, -1), tg["soft"])
+            if is_multires:
+                cand = Cq[None, :, :] + residual  # (B, K, 4)
+            else:
+                cand = Cq[None, :, :] + residual[:, None, :]
+            # reference arg order my_loss(ytrue, candidate)
+            # (binDeltaLosses.py:163-164): quaternion.geodesic_loss
+            # normalizes its FIRST argument — the (already unit) ground
+            # truth — so candidates enter UN-normalized, |<cand,y>| clamped
+            lr = expected_regression(
+                scores, cand, tg["y"],
+                lambda p, t: geodesic_quat(t, p, reduce=False),
+            )
+            return lc, lr
+
+        def decode(out):
+            scores, residual = out
+            ind = jnp.argmax(scores, axis=-1)
+            if is_multires:
+                residual = jnp.take_along_axis(
+                    residual, ind[:, None, None], axis=1
+                )[:, 0]
+            q = Cq[ind] + residual
+            # quaternion test predictions renormalized (the quaternion
+            # evaluate convention, learnGeodesicBDModel_quaternion.py:217)
+            return q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12
+            )
+
+        return Problem(name, "quaternion", targets, warmup, main, decode)
+
     if name == "riemannian":
         C = jnp.asarray(centers, jnp.float32)
         key_R = exp_so3(C)

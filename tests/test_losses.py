@@ -268,3 +268,150 @@ class TestSelfBalance:
 
     def test_init(self):
         assert float(init_log_balance()) == 0.0
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference repo not mounted")
+class TestQuatProbabilisticParity:
+    """probabilistic_quat[_multires] problems vs the reference's OWN
+    RelaXedProbabilisticLossQ / RelaXedProbabilisticMultiresLossQ
+    (binDeltaLosses.py:149-166,197-208) — the reference-dormant quaternion
+    loss variants, instantiated from /root/reference with a fake kmeans
+    pickle and .cuda() no-op'd."""
+
+    @pytest.fixture()
+    def ref_mods(self):
+        import torch
+        from torch import nn
+
+        sys.path.insert(0, REFERENCE)
+        mc, tc = nn.Module.cuda, torch.Tensor.cuda
+        nn.Module.cuda = lambda self, *a, **k: self
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        try:
+            import binDeltaLosses
+            import quaternion as ref_quaternion
+
+            yield binDeltaLosses, ref_quaternion
+        finally:
+            nn.Module.cuda, torch.Tensor.cuda = mc, tc
+            sys.path.remove(REFERENCE)
+            for m in ("binDeltaLosses", "quaternion", "helperFunctions",
+                      "axisAngle"):
+                sys.modules.pop(m, None)
+
+    @staticmethod
+    def _kmeans_pickle(tmp_path, centers_aa):
+        import pickle
+
+        from sklearn.cluster import KMeans
+
+        km = KMeans(n_clusters=len(centers_aa))
+        km.cluster_centers_ = np.asarray(centers_aa, np.float64)
+        f = tmp_path / "kmeans.pkl"
+        with open(f, "wb") as fh:
+            pickle.dump(km, fh)
+        return str(f)
+
+    @pytest.fixture()
+    def quat_batch(self, rng):
+        centers_aa = (0.7 * rng.standard_normal((K, D))).astype(np.float32)
+        y = rng.standard_normal((B, 4)).astype(np.float32)
+        y /= np.linalg.norm(y, axis=1, keepdims=True)
+        scores = rng.standard_normal((B, K)).astype(np.float32)
+        return centers_aa, y, scores
+
+    def test_targets_match_xpbd_generator_q(self, quat_batch):
+        """targets == XPBDGeneratorQ's host formula
+        (binDeltaGenerators.py:103-109): normalized exp(-10*d^2) over
+        quaternion sqeuclidean to the CONVERTED dictionary, soft-mean
+        residual."""
+        from scipy.spatial.distance import cdist
+
+        from multi_modal_regression_tpu.geometry.quaternion import (
+            convert_dictionary,
+        )
+        from multi_modal_regression_tpu.train.problems import make_problem
+
+        centers_aa, y, _ = quat_batch
+        problem = make_problem("probabilistic_quat", centers_aa, gamma=10.0)
+        tg = problem.targets(jnp.asarray(y))
+        Cq = np.asarray(convert_dictionary(jnp.asarray(centers_aa)))
+        soft = np.exp(-10.0 * cdist(y, Cq, "sqeuclidean"))
+        soft /= soft.sum(1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(tg["soft"]), soft, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(tg["res"]), y - soft @ Cq, rtol=1e-4, atol=1e-5
+        )
+
+    def test_single_delta_parity(self, ref_mods, quat_batch, rng, tmp_path):
+        import torch
+
+        from multi_modal_regression_tpu.train.problems import make_problem
+
+        bdl, ref_qt = ref_mods
+        centers_aa, y, scores = quat_batch
+        residual = (0.1 * rng.standard_normal((B, 4))).astype(np.float32)
+        problem = make_problem("probabilistic_quat", centers_aa, gamma=10.0)
+        tg = problem.targets(jnp.asarray(y))
+        lc, lr = problem.main_losses(
+            (jnp.asarray(scores), jnp.asarray(residual)), tg
+        )
+        ref_loss = bdl.RelaXedProbabilisticLossQ(
+            1.0, self._kmeans_pickle(tmp_path, centers_aa),
+            ref_qt.geodesic_loss(reduce=False),
+        )
+        want = float(ref_loss(
+            (torch.tensor(scores), torch.tensor(residual)),
+            (torch.tensor(np.asarray(tg["soft"])), torch.tensor(y)),
+        ))
+        np.testing.assert_allclose(float(lc) + float(lr), want, rtol=1e-4)
+
+    def test_multires_parity(self, ref_mods, quat_batch, rng, tmp_path):
+        import torch
+
+        from multi_modal_regression_tpu.train.problems import make_problem
+
+        bdl, ref_qt = ref_mods
+        centers_aa, y, scores = quat_batch
+        residual = (0.1 * rng.standard_normal((B, K, 4))).astype(np.float32)
+        problem = make_problem(
+            "probabilistic_quat_multires", centers_aa, gamma=10.0,
+            multires=True,
+        )
+        tg = problem.targets(jnp.asarray(y))
+        lc, lr = problem.main_losses(
+            (jnp.asarray(scores), jnp.asarray(residual)), tg
+        )
+        ref_loss = bdl.RelaXedProbabilisticMultiresLossQ(
+            1.0, self._kmeans_pickle(tmp_path, centers_aa),
+            ref_qt.geodesic_loss(reduce=False),
+        )
+        want = float(ref_loss(
+            (torch.tensor(scores), torch.tensor(residual)),
+            (torch.tensor(np.asarray(tg["soft"])), torch.tensor(y)),
+        ))
+        np.testing.assert_allclose(float(lc) + float(lr), want, rtol=1e-4)
+
+    def test_decode_renormalized_argmax(self, quat_batch, rng):
+        from multi_modal_regression_tpu.geometry.quaternion import (
+            convert_dictionary,
+        )
+        from multi_modal_regression_tpu.train.problems import make_problem
+
+        centers_aa, _, scores = quat_batch
+        residual = (0.1 * rng.standard_normal((B, K, 4))).astype(np.float32)
+        problem = make_problem(
+            "probabilistic_quat_multires", centers_aa, gamma=10.0,
+            multires=True,
+        )
+        got = np.asarray(
+            problem.decode((jnp.asarray(scores), jnp.asarray(residual)))
+        )
+        Cq = np.asarray(convert_dictionary(jnp.asarray(centers_aa)))
+        ind = np.argmax(scores, axis=1)
+        want = Cq[ind] + residual[np.arange(B), ind]
+        want /= np.linalg.norm(want, axis=1, keepdims=True)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.linalg.norm(got, axis=1), 1.0, rtol=1e-5
+        )

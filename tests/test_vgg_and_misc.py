@@ -185,3 +185,34 @@ def test_flip_pose_matches_flipped_image_pose(rng):
     np.testing.assert_allclose(
         np.asarray(exp_so3(y_f)), np.asarray(R_mirror), atol=1e-5
     )
+
+
+def test_probabilistic_quaternion_preset_steps(rng):
+    """probabilistic_bd_quaternion[_multires]: both phases step finitely
+    (the reference-dormant RelaXedProbabilisticLossQ variants wired as
+    presets; loss parity vs the reference classes in test_losses.py)."""
+    from multi_modal_regression_tpu.dictionary.kmeans import KMeansDictionary
+
+    centers = (0.7 * rng.standard_normal((4, 3))).astype(np.float32)
+    for preset in (
+        "probabilistic_bd_quaternion", "probabilistic_bd_quaternion_multires"
+    ):
+        cfg = get_config(
+            preset,
+            feature_network="resnet18", feature_layer="layer4",
+            num_classes=3, N0=512, N1=32, N2=16, N3=8, dict_size=4,
+            image_size=32,
+        )
+        assert cfg.ndim == 4
+        trainer = Trainer(
+            cfg, dictionary=KMeansDictionary(cluster_centers=centers)
+        )
+        state = trainer.init_state()
+        batch = trainer.shard_batch({
+            "xdata": rng.integers(0, 256, (6, 32, 32, 3), np.uint8),
+            "euler": rng.uniform(-90, 90, (6, 3)).astype(np.float32),
+            "label": (np.arange(6) % 3).astype(np.int32),
+        })
+        for phase in ("warmup", "main"):
+            state, m = trainer.train_step_fn(phase)(state, batch)
+            assert np.isfinite(float(m["loss"])), (preset, phase)
