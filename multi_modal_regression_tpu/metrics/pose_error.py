@@ -175,11 +175,29 @@ def per_class_report(
 
 
 def mean_class_accuracy(ytrue: np.ndarray, ypred: np.ndarray, num_classes: int) -> float:
-    """Mean over classes of per-class classification accuracy."""
+    """Mean over classes of per-class classification accuracy
+    (helperFunctions.py:123-129).
+
+    Classes absent from ytrue are skipped (with a warning) instead of
+    contributing 0/0 = NaN: on full datasets every class appears, so the
+    value is identical to the reference's; on synthetic/mini sets the
+    headline metric stays finite."""
     ytrue = np.asarray(ytrue).ravel()
     ypred = np.asarray(ypred).ravel()
-    acc = np.zeros(num_classes)
+    accs = []
+    absent = []
     for i in range(num_classes):
         mask = ytrue == i
-        acc[i] = np.sum(mask & (ypred == i)) / np.sum(mask)
-    return float(np.mean(acc))
+        n = np.sum(mask)
+        if n == 0:
+            absent.append(i)
+            continue
+        accs.append(np.sum(mask & (ypred == i)) / n)
+    if absent:
+        import warnings
+
+        warnings.warn(
+            f"mean_class_accuracy: classes {absent} absent from ytrue; "
+            "mean over the present classes only"
+        )
+    return float(np.mean(accs)) if accs else float("nan")

@@ -33,11 +33,18 @@ def initialize(
     num_processes: int | None = None,
     process_id: int | None = None,
     local_device_ids: list[int] | None = None,
+    shutdown_timeout_seconds: int = 1200,
 ) -> tuple[int, int]:
     """jax.distributed.initialize wrapper; returns (process_count,
     process_index). Must run before the backend is touched. With no args,
     JAX auto-detects from the environment (TPU pod metadata or the
-    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID vars)."""
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID vars).
+
+    shutdown_timeout_seconds raises jax's default 300 s exit barrier: on a
+    loaded machine process exits can skew by minutes (post-run host work,
+    cold compiles), and the first process to exit throws a Shutdown
+    BarrierError when the others don't arrive in time — observed as a CI
+    flake in the 2-process CLI e2e under concurrent suite load."""
     import jax
 
     jax.distributed.initialize(
@@ -45,6 +52,7 @@ def initialize(
         num_processes=num_processes,
         process_id=process_id,
         local_device_ids=local_device_ids,
+        shutdown_timeout_seconds=shutdown_timeout_seconds,
     )
     return jax.process_count(), jax.process_index()
 

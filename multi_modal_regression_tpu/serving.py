@@ -63,10 +63,14 @@ def make_inference_fn(
 def export_inference(
     trainer: Trainer,
     state: TrainState,
-    batch_size: int = 64,
+    batch_size: int | str = 64,
     image_size: int | None = None,
 ) -> jax_export.Exported:
-    """AOT-export the inference function for a fixed batch shape.
+    """AOT-export the inference function.
+
+    batch_size: an int exports a fixed batch shape; the string "dynamic"
+    exports with a SYMBOLIC batch dimension (jax.export shape polymorphism)
+    — one artifact serves every batch size, specializing at call time.
 
     With image_size different from the model's training resolution, the
     on-device bilinear resize is fused into the exported graph, so raw-size
@@ -77,9 +81,13 @@ def export_inference(
         trainer.config.image_size if size != trainer.config.image_size else None
     )
     infer = make_inference_fn(trainer, state, resize_to=resize_to)
+    if batch_size == "dynamic":
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = int(batch_size)
     return jax_export.export(jax.jit(infer))(
-        jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8),
-        jax.ShapeDtypeStruct((batch_size,), jnp.int32),
+        jax.ShapeDtypeStruct((b, size, size, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
     )
 
 

@@ -236,3 +236,27 @@ def test_azimuth_bin_matches_matlab_find_interval():
             assert azimuth_bin(float(az), nbins) == matlab_find_interval(float(az)), (
                 nbins, az
             )
+
+
+def test_mean_class_accuracy_skips_absent_classes():
+    """Absent classes are skipped with a warning (0/0 would NaN the
+    headline metric on synthetic/mini sets); present-class math unchanged."""
+    import warnings
+
+    from multi_modal_regression_tpu.metrics.pose_error import (
+        mean_class_accuracy,
+    )
+
+    ytrue = np.array([0, 0, 1, 1])
+    ypred = np.array([0, 1, 1, 1])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        acc = mean_class_accuracy(ytrue, ypred, num_classes=3)
+    assert any("absent" in str(x.message) for x in w)
+    np.testing.assert_allclose(acc, (0.5 + 1.0) / 2)
+    # all classes present: no warning, exact reference value
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        full = mean_class_accuracy(np.array([0, 1, 2]), np.array([0, 1, 0]), 3)
+    assert not w
+    np.testing.assert_allclose(full, 2.0 / 3.0)

@@ -56,3 +56,23 @@ def test_export_with_raw_size_inputs(trainer_state, tmp_path):
     labels = np.array([0, 1], np.int32)
     out = np.asarray(exported.call(raw, labels))
     assert out.shape == (2, 3) and np.all(np.isfinite(out))
+
+
+def test_export_dynamic_batch(trainer_state, tmp_path):
+    """batch_size='dynamic' exports ONE artifact with a symbolic batch dim
+    that serves any batch size, matching fixed-shape exports exactly."""
+    trainer, state = trainer_state
+    rng = np.random.default_rng(3)
+    exported = export_inference(
+        trainer, state, batch_size="dynamic", image_size=32
+    )
+    path = tmp_path / "model_dyn.stablehlo"
+    save_inference(path, exported)
+    served = load_inference(path)
+    for b in (2, 7):
+        images = rng.integers(0, 256, (b, 32, 32, 3), np.uint8)
+        labels = (np.arange(b) % 3).astype(np.int32)
+        got = np.asarray(served(images, labels))
+        live = np.asarray(make_inference_fn(trainer, state)(images, labels))
+        np.testing.assert_allclose(got, live, rtol=1e-5, atol=1e-6)
+        assert got.shape == (b, 3)
