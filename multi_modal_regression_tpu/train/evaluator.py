@@ -122,6 +122,7 @@ class SnapshotEnsembleEvaluator:
                 random_flip=cfg.train_flip,
                 compute_dtype=cdtype,
                 remat=cfg.remat,
+                frozen_bn=cfg.frozen_bn,
             ),
             donate_argnums=(0,),
         )

@@ -65,8 +65,16 @@ def make_train_step(
     random_flip: bool = False,
     compute_dtype=None,
     remat: str | None = None,
+    frozen_bn: bool = False,
 ):
     """Build a jit-able train step for (model, problem, optimizer, phase).
+
+    frozen_bn=True runs the forward in EVAL BatchNorm mode (running
+    statistics, no batch-stat computation or update) while still training
+    every parameter — torch's `model.eval()`-during-training quirk
+    (learnSimpleBDModel_rene.py:133), offered as a flagged fast mode for
+    fine-tuning converged models (the snapshot-ensemble protocol): the
+    backward no longer differentiates through batch statistics.
 
     phase 'warmup' uses problem.warmup_losses/warmup_balance; 'main' uses
     main_losses/main_balance. When the balance mode is None the loss is the
@@ -121,16 +129,21 @@ def make_train_step(
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            outputs, mutated = apply_fn(
-                variables, images, batch["label"], True,
-            )
+            if frozen_bn:
+                outputs = apply_fn(variables, images, batch["label"], False)
+                new_bs = state.batch_stats
+            else:
+                outputs, mutated = apply_fn(
+                    variables, images, batch["label"], True,
+                )
+                new_bs = mutated["batch_stats"]
             lc, lr = loss_pair(outputs, tg)
             if balance is None:
                 loss = lc + alpha * lr
                 s_next = state.s
             else:
                 loss, s_next = self_balanced(lc, lr, state.s, mode=balance)
-            return loss, (lc, lr, s_next, mutated["batch_stats"])
+            return loss, (lc, lr, s_next, new_bs)
 
         loss_fn_used = (
             jax.checkpoint(loss_fn, policy=policy)

@@ -94,6 +94,7 @@ class Trainer:
                     random_flip=config.train_flip,
                     compute_dtype=cdtype,
                     remat=config.remat,
+                    frozen_bn=config.frozen_bn,
                 ),
                 donate_argnums=(0,),
             )

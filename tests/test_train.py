@@ -345,3 +345,65 @@ def test_remat_exact_on_multires(centers):
         )
         losses[remat] = float(metrics["loss"])
     np.testing.assert_allclose(losses["block"], losses[None], rtol=1e-5)
+
+
+def test_lr_scaling_rules():
+    """scaled_lr: linear = k*init_lr, sqrt = sqrt(k)*init_lr, none = init_lr
+    (k = items_per_batch / lr_scaling_base_items)."""
+    from multi_modal_regression_tpu.train.presets import scaled_lr
+
+    cfg = get_config("geodesic_bd", **{**TINY, "items_per_batch": 16})
+    assert scaled_lr(cfg) == cfg.init_lr
+    lin = dataclasses.replace(cfg, lr_scaling="linear")
+    np.testing.assert_allclose(scaled_lr(lin), cfg.init_lr * 2.0)
+    sq = dataclasses.replace(cfg, lr_scaling="sqrt")
+    np.testing.assert_allclose(scaled_lr(sq), cfg.init_lr * np.sqrt(2.0))
+    with pytest.raises(ValueError):
+        scaled_lr(dataclasses.replace(cfg, lr_scaling="bogus"))
+
+
+def test_frozen_bn_step(dataset, centers):
+    """frozen_bn=True: params update, batch_stats do NOT, and the loss
+    equals one computed with an eval-mode forward (running stats)."""
+    cfg = get_config("geodesic_bd", **{**TINY, "frozen_bn": True})
+    trainer = Trainer(cfg, dictionary=KMeansDictionary(cluster_centers=centers))
+    real, _, _ = _loaders(dataset, cfg)
+    batch = trainer.shard_batch(next(iter(real)))
+    state = trainer.init_state()
+    bs_before = jax.device_get(state.batch_stats)
+    p_before = jax.device_get(state.params)
+
+    # expected loss: eval-mode forward + the same loss/balance math
+    from multi_modal_regression_tpu.data.targets import euler_to_pose
+    from multi_modal_regression_tpu.losses.self_balance import self_balanced
+    from multi_modal_regression_tpu.ops.preprocess import (
+        normalize_images_pallas,
+    )
+
+    images = normalize_images_pallas(batch["xdata"])
+    y = euler_to_pose(batch["euler"], trainer.problem.ydata_type)
+    tg = dict(trainer.problem.targets(y))
+    tg["class_label"] = batch["label"]
+    out = trainer.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        images, batch["label"], False,
+    )
+    lc, lr = trainer.problem.main_losses(out, tg)
+    want_loss, _ = self_balanced(lc, lr, state.s, mode="main")
+
+    state2, metrics = trainer.train_step_fn("main")(state, batch)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(want_loss), rtol=1e-5
+    )
+    bs_after = jax.device_get(state2.batch_stats)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        bs_before, bs_after,
+    )
+    # params DID update
+    p_after = jax.device_get(state2.params)
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p_before), jax.tree.leaves(p_after))
+    )
+    assert moved
