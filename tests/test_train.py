@@ -407,3 +407,49 @@ def test_frozen_bn_step(dataset, centers):
         for a, b in zip(jax.tree.leaves(p_before), jax.tree.leaves(p_after))
     )
     assert moved
+
+
+def test_big_batch_matched_steps_converges(tmp_path_factory):
+    """The validated scale-out recipe (SCALING.md round 4): growing the
+    global batch 8x with UNSCALED Adam LR and matched STEPS converges at
+    least as well as the small batch — the dp scale-out semantics for
+    data-rich training. (The refuted matched-epochs LR rules are recorded
+    in benchmarks/bench_lr_scaling.py / SCALING.md.)"""
+    root = generate_pose_dataset(
+        tmp_path_factory.mktemp("posedata"), classes=CLASSES,
+        images_per_class=24, image_size=32, seed=11, pattern="pose",
+    )
+    rng = np.random.default_rng(4)
+    centers = (0.8 * rng.standard_normal((8, 3))).astype(np.float32)
+    meds = {}
+    for ipb in (2, 16):
+        cfg = get_config(
+            "geodesic_bd", **{
+                **TINY, "items_per_batch": ipb, "dict_size": 8,
+                "init_lr": 1e-3, "eval_batch": 24,
+            }
+        )
+        trainer = Trainer(
+            cfg, dictionary=KMeansDictionary(cluster_centers=centers)
+        )
+        real = BalancedLoader(
+            ClassBalancedIndex(str(root), "real", classes=CLASSES),
+            ipb, 32, num_workers=4, seed=0,
+        )
+        test = TestLoader(
+            FlatTestIndex(str(root), classes=CLASSES), 24, 32, num_workers=4
+        )
+        batches = []
+        for b in real:
+            batches.append(trainer.shard_batch(b))
+            if len(batches) >= 4:
+                break
+        state = trainer.init_state()
+        step = trainer.train_step_fn("main")
+        for i in range(40):  # matched steps, unscaled LR
+            state, _ = step(state, batches[i % len(batches)])
+        meds[ipb] = trainer.evaluate(state, test)
+    # the big batch saw 8x the data in the same steps: it must be at
+    # least as converged (generous band for eval noise at this scale)
+    assert meds[16] <= meds[2] + 10.0, meds
+    assert meds[16] < 110.0, meds  # and learning actually happened
