@@ -291,16 +291,29 @@ def _make_loaders(args, cfg, host_count: int = 1, host_index: int = 0):
     load_size = cfg.device_resize_from or cfg.image_size
     root = Path(args.data_root)
     if protocol == "flat":
-        if getattr(args, "packed_cache", None):
-            print("--packed-cache: flat protocol not packed; using PNG "
-                  "loader", flush=True)
         # single shuffled flat train loader over <root>/train, test over
         # <root>/test (learnObjectnetBDModel.py:50-51,74-75)
-        train = FlatLoader(
-            FlatTestIndex(str(root / "train"), classes=classes),
-            batch_size=cfg.items_per_batch * 12, image_size=load_size,
-            num_workers=args.num_workers, seed=cfg.seed, **hosts,
-        )
+        train_index = FlatTestIndex(str(root / "train"), classes=classes)
+        if getattr(args, "packed_cache", None):
+            from multi_modal_regression_tpu.data import (
+                PackedFlatLoader,
+                pack_index,
+            )
+
+            pack = pack_index(
+                train_index, _packed_cache_dir(args, load_size, "train"),
+                image_size=load_size, num_workers=args.num_workers,
+            )
+            train = PackedFlatLoader(
+                train_index, pack, batch_size=cfg.items_per_batch * 12,
+                seed=cfg.seed, **hosts,
+            )
+        else:
+            train = FlatLoader(
+                train_index,
+                batch_size=cfg.items_per_batch * 12, image_size=load_size,
+                num_workers=args.num_workers, seed=cfg.seed, **hosts,
+            )
         return train, None, _make_test_loader(
             args, cfg, classes, load_size, host_count, host_index
         )

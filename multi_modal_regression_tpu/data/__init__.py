@@ -24,6 +24,7 @@ from multi_modal_regression_tpu.data.loader import (
 from multi_modal_regression_tpu.data.packed import (
     PackedBalancedLoader,
     PackedCrops,
+    PackedFlatLoader,
     PackedTestLoader,
     pack_index,
 )
@@ -56,6 +57,7 @@ __all__ = [
     "normalize_images",
     "PackedBalancedLoader",
     "PackedCrops",
+    "PackedFlatLoader",
     "PackedTestLoader",
     "pack_index",
     "euler_to_pose",

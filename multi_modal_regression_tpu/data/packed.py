@@ -33,6 +33,7 @@ import numpy as np
 from multi_modal_regression_tpu.data.index import ClassBalancedIndex, FlatTestIndex
 from multi_modal_regression_tpu.data.loader import (
     BalancedLoader,
+    FlatLoader,
     TestLoader,
     _prefetched,
     decode_image,
@@ -164,6 +165,43 @@ class PackedBalancedLoader(BalancedLoader):
             "euler": eulers.reshape(ipb * C, 3),
             "label": labels,
         }
+
+
+class PackedFlatLoader(FlatLoader):
+    """FlatLoader (the ObjectNet shuffled flat train protocol,
+    learnObjectnetBDModel.py:74) with pixels from a PackedCrops cache."""
+
+    def __init__(self, index: FlatTestIndex, pack: PackedCrops, **kwargs):
+        kwargs.setdefault("num_workers", 1)
+        kwargs.setdefault("image_size", pack.image_size)
+        super().__init__(index, **kwargs)
+        if self.image_size != pack.image_size:
+            raise ValueError(
+                f"pack is {pack.image_size}px, loader wants {self.image_size}px"
+            )
+        self.pack = pack
+
+    def _gen(self, pool: cf.Executor) -> Iterator[dict]:
+        n = len(self.index)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        S = self.image_size
+        for b in range(len(self)):
+            g = (b * self.host_count + self.host_index) * self.batch_size
+            ids = order[g : g + self.batch_size]
+            xdata = np.empty((len(ids), S, S, 3), np.uint8)
+            for j, i in enumerate(ids):
+                cls = self.index.classes[self.index.labels[int(i)]]
+                row = self.pack.rows(
+                    cls, [str(self.index.image_names[int(i)])]
+                )[0]
+                xdata[j] = self.pack.array(cls)[row]
+            yield {
+                "xdata": xdata,
+                "euler": np.stack(
+                    [self.index.euler(int(i)) for i in ids]
+                ).astype(np.float32),
+                "label": self.index.labels[ids].astype(np.int32),
+            }
 
 
 class PackedTestLoader(TestLoader):

@@ -326,3 +326,20 @@ def test_pack_index_idempotent_and_stale_detection(dataset, tmp_path):
     pack = pack_index(idx, cache, image_size=32, num_workers=2)
     assert pack.image_size == 32
     assert pack.array(CLASSES[0]).shape[1:] == (32, 32, 3)
+
+
+def test_packed_flat_loader_matches_png(dataset, tmp_path):
+    from multi_modal_regression_tpu.data import (
+        FlatLoader,
+        PackedFlatLoader,
+        pack_index,
+    )
+
+    idx = FlatTestIndex(str(dataset), classes=CLASSES)
+    pack = pack_index(idx, tmp_path / "cache", image_size=48, num_workers=2)
+    png = FlatLoader(idx, batch_size=6, image_size=48, seed=5, num_workers=2)
+    packed = PackedFlatLoader(idx, pack, batch_size=6, seed=5)
+    for bp, bq in zip(packed, png, strict=True):
+        np.testing.assert_array_equal(bp["xdata"], bq["xdata"])
+        np.testing.assert_allclose(bp["euler"], bq["euler"], rtol=1e-6)
+        np.testing.assert_array_equal(bp["label"], bq["label"])
