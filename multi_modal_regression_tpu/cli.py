@@ -775,6 +775,7 @@ def cmd_verify_parity(args) -> int:
         overrides=overrides,
         eval_num_epochs=args.eval_num_epochs,
         workers=args.num_workers,
+        packed_cache=not args.no_packed_cache,
     )
     ev = table["stages"]["evaluate"]
     print(f"{'class':>14s}  {'MedErr':>8s}  {'Acc@pi/6':>8s}", flush=True)
@@ -966,6 +967,9 @@ def main(argv=None) -> int:
                        help="comma list (default: the 12 PASCAL3D+ classes)")
     p_par.add_argument("--dbinfo", type=str, default=None)
     p_par.add_argument("--num-workers", type=int, default=8)
+    p_par.add_argument("--no-packed-cache", action="store_true",
+                       help="disable the default packed uint8 crop cache "
+                            "(<workdir>/packed) and decode PNGs per epoch")
     _add_config_overrides(p_par)
     p_par.set_defaults(fn=cmd_verify_parity)
 

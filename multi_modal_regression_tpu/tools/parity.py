@@ -90,9 +90,17 @@ def run_parity_gate(
     overrides: Mapping[str, Any] | None = None,
     eval_num_epochs: int | None = None,
     workers: int = 8,
+    packed_cache: bool = True,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Run the full chain; returns (and writes) the parity table.
+
+    packed_cache (default ON): pack the train/render/test trees into
+    uint8 memmap shards under <workdir>/packed on first use — the host
+    PNG decoders sustain only ~200 img/s against the chip's ~2400
+    (BASELINE.md round 4), so the real-data gate would otherwise be
+    host-bound. Pixels are byte-identical to the PNG decode path
+    (tests/test_data.py equivalence tests).
 
     data_root: the prepared tree (train/ test/ augmented2/ original/). If
     missing and db_path is given, stage 1 ingests the release into it.
@@ -173,22 +181,52 @@ def run_parity_gate(
             "the flipped train crops"
         )
     load_size = cfg.device_resize_from or cfg.image_size
-    real = BalancedLoader(
-        ClassBalancedIndex(str(data_root / real_sub), "real", classes=classes),
-        cfg.items_per_batch, load_size, num_workers=workers, seed=cfg.seed,
-    )
-    render = (
-        BalancedLoader(
-            ClassBalancedIndex(str(render_root), "render", classes=classes),
-            cfg.items_per_batch, load_size, num_workers=workers,
+
+    def balanced_loader(tree: Path, db_type: str, tag: str):
+        index = ClassBalancedIndex(str(tree), db_type, classes=classes)
+        if packed_cache:
+            from multi_modal_regression_tpu.data import (
+                PackedBalancedLoader,
+                pack_index,
+            )
+
+            pack = pack_index(
+                index, workdir / "packed" / f"{tag}_{load_size}px",
+                image_size=load_size, num_workers=workers,
+            )
+            return PackedBalancedLoader(
+                index, pack, items_per_batch=cfg.items_per_batch,
+                seed=cfg.seed,
+            )
+        return BalancedLoader(
+            index, cfg.items_per_batch, load_size, num_workers=workers,
             seed=cfg.seed,
         )
+
+    real = balanced_loader(data_root / real_sub, "real", real_sub)
+    render = (
+        balanced_loader(Path(render_root), "render", "render")
         if render_root else None
     )
-    test = TestLoader(
-        FlatTestIndex(str(data_root / "test"), classes=classes),
-        cfg.eval_batch, load_size, num_workers=workers,
-    )
+    test_index = FlatTestIndex(str(data_root / "test"), classes=classes)
+    if packed_cache:
+        from multi_modal_regression_tpu.data import (
+            PackedTestLoader,
+            pack_index,
+        )
+
+        test = PackedTestLoader(
+            test_index,
+            pack_index(
+                test_index, workdir / "packed" / f"test_{load_size}px",
+                image_size=load_size, num_workers=workers,
+            ),
+            batch_size=cfg.eval_batch,
+        )
+    else:
+        test = TestLoader(
+            test_index, cfg.eval_batch, load_size, num_workers=workers,
+        )
     ckpt = workdir / "checkpoints" / "final"
     if ckpt.exists():
         log("[train] final checkpoint exists; skipping training")
