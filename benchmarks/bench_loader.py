@@ -11,9 +11,17 @@ uint8 shard cache (data/packed.py) — the TPU-native analog of the
 reference's pre-decoded .mat crop protocol (setupDataOriginal_pascal3d.m:
 73-124) — which replaces per-image PNG decode with memmap slice reads.
 
+Round-4.5 addition: the PNG loaders decode through the native C++
+library when available (native/decode.cc — byte-identical pixels, GIL
+released, so decode threads finally scale); `--no-native` forces the
+pure-PIL path (MMR_NATIVE=0) for an apples-to-apples comparison, and a
+`pack_build` row records the one-time packed-cache build rate (native
+batch decode).
+
 Usage: python benchmarks/bench_loader.py [--image-size 224]
            [--images-per-class 48] [--items-per-batch 8]
            [--workers 1 2 4 8 16] [--batches 24] [--no-packed]
+           [--no-native]
 
 Prints one JSON line per measurement row.
 """
@@ -112,7 +120,14 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=24)
     ap.add_argument("--root", default="/tmp/bench_loader")
     ap.add_argument("--no-packed", action="store_true")
+    ap.add_argument("--no-native", action="store_true",
+                    help="force the pure-PIL decode path (MMR_NATIVE=0)")
     args = ap.parse_args()
+
+    if args.no_native:
+        import os
+
+        os.environ["MMR_NATIVE"] = "0"  # read at first decode (data/native)
 
     from multi_modal_regression_tpu.data.index import (
         ClassBalancedIndex,
@@ -155,8 +170,13 @@ def main() -> None:
     pack_dir = tree.parent / (tree.name + "_packed")
     t0 = time.perf_counter()
     pack = pack_index(index, pack_dir, image_size=args.image_size, num_workers=8)
+    dt = time.perf_counter() - t0
+    n_src = int(sum(index.num_images))
+    if dt > 1.0:  # a fresh build; cached reloads aren't a decode rate
+        row("pack_build", 8, n_src / dt, n_src,
+            note="one-time packed-cache build (whole tree)")
     print(
-        f"# pack_index: {time.perf_counter() - t0:.1f}s (cached after first run)",
+        f"# pack_index: {dt:.1f}s (cached after first run)",
         file=sys.stderr,
     )
     for w in args.workers:

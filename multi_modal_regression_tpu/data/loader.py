@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
+from multi_modal_regression_tpu.data import native
 from multi_modal_regression_tpu.data.index import ClassBalancedIndex, FlatTestIndex
 
 # ImageNet normalization (dataGenerators.py:21)
@@ -33,13 +34,27 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def decode_image(path: str, size: int = 224) -> np.ndarray:
-    """PNG -> uint8 (size, size, 3). Bilinear resize like transforms.Resize."""
+def _decode_image_pil(path: str, size: int) -> np.ndarray:
+    """The reference-semantics decode: PIL convert('RGB') + BILINEAR."""
     with Image.open(path) as img:
         img = img.convert("RGB")
         if img.size != (size, size):
             img = img.resize((size, size), Image.BILINEAR)
         return np.asarray(img, np.uint8)
+
+
+def decode_image(path: str, size: int = 224) -> np.ndarray:
+    """PNG -> uint8 (size, size, 3). Bilinear resize like transforms.Resize.
+
+    Decodes through the native C++ library when available (byte-identical
+    pixels, GIL released -> loader threads scale; data/native.py) and
+    falls back to PIL for anything the native path refuses (alpha,
+    16-bit, non-PNG) or when the library is unavailable.
+    """
+    arr = native.decode_image_native(path, size)
+    if arr is not None:
+        return arr
+    return _decode_image_pil(path, size)
 
 
 def normalize_images(x_uint8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:

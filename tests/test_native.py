@@ -1,0 +1,101 @@
+"""Native C++ decode library (native/decode.cc via data/native.py).
+
+The contract under test: for every file the native path accepts it must
+return BYTE-IDENTICAL pixels to the reference-semantics PIL path
+(convert('RGB') + BILINEAR resize — dataGenerators.py:21-23), and every
+file it refuses (alpha, 16-bit, missing) must flow through the PIL
+fallback so `decode_image`'s output never depends on which path ran.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from multi_modal_regression_tpu.data import native
+from multi_modal_regression_tpu.data.loader import (
+    _decode_image_pil,
+    decode_image,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native.available(),
+    reason="native decode library unavailable (no compiler?)",
+)
+
+
+@pytest.fixture(scope="module")
+def png_zoo(tmp_path_factory):
+    """PNGs across shapes and color types, plus files the native path
+    must refuse."""
+    root = tmp_path_factory.mktemp("pngs")
+    rng = np.random.default_rng(42)
+    supported = []
+    for i, (h, w) in enumerate(
+        [(48, 48), (100, 77), (33, 129), (224, 224), (300, 500), (17, 17),
+         (7, 300), (640, 480)]
+    ):
+        p = root / f"rgb{i}.png"
+        Image.fromarray(rng.integers(0, 256, (h, w, 3), np.uint8)).save(p)
+        supported.append(p)
+    gray = root / "gray.png"
+    Image.fromarray(rng.integers(0, 256, (60, 80), np.uint8), "L").save(gray)
+    supported.append(gray)
+    pal = root / "palette.png"
+    Image.fromarray(rng.integers(0, 256, (40, 50, 3), np.uint8)).convert(
+        "P", palette=Image.ADAPTIVE
+    ).save(pal)
+    supported.append(pal)
+    rgba = root / "rgba.png"
+    Image.fromarray(
+        rng.integers(0, 256, (30, 30, 4), np.uint8), "RGBA"
+    ).save(rgba)
+    deep = root / "gray16.png"
+    Image.fromarray(
+        rng.integers(0, 65536, (25, 35), np.uint16), "I;16"
+    ).save(deep)
+    return supported, [rgba, deep]
+
+
+@pytest.mark.parametrize("size", [224, 32, 100])
+def test_native_decode_byte_identical_to_pil(png_zoo, size):
+    supported, _ = png_zoo
+    for p in supported:
+        nat = native.decode_image_native(str(p), size)
+        assert nat is not None, p
+        np.testing.assert_array_equal(nat, _decode_image_pil(str(p), size))
+
+
+def test_native_refuses_alpha_and_16bit_but_decode_image_matches(png_zoo):
+    _, refused = png_zoo
+    for p in refused:
+        assert native.decode_image_native(str(p), 48) is None
+        # the public decode falls back to PIL: output identical either way
+        np.testing.assert_array_equal(
+            decode_image(str(p), 48), _decode_image_pil(str(p), 48)
+        )
+
+
+def test_native_batch_matches_and_flags_failures(png_zoo, tmp_path):
+    supported, refused = png_zoo
+    paths = [str(p) for p in supported + refused] + [
+        str(tmp_path / "missing.png")
+    ]
+    res = native.decode_batch_native(paths, 64, threads=4)
+    assert res is not None
+    out, ok = res
+    assert out.shape == (len(paths), 64, 64, 3)
+    np.testing.assert_array_equal(
+        ok, [True] * len(supported) + [False] * (len(refused) + 1)
+    )
+    for i, p in enumerate(supported):
+        np.testing.assert_array_equal(out[i], _decode_image_pil(str(p), 64))
+
+
+def test_decode_image_uses_native_path(png_zoo):
+    """The public API routes through the native decoder for supported
+    files (and its output equals the PIL path bit-for-bit)."""
+    supported, _ = png_zoo
+    p = str(supported[0])
+    np.testing.assert_array_equal(
+        decode_image(p, 96), _decode_image_pil(p, 96)
+    )
