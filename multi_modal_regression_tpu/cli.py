@@ -58,9 +58,10 @@ def _add_common_data_args(p: argparse.ArgumentParser) -> None:
                         "use and reuses it after, or give an explicit "
                         "cache root. Replaces per-image PNG decodes with "
                         "memmap gathers (~16x host throughput, "
-                        "benchmarks/bench_loader.py). balanced/filenames "
-                        "protocols only; ignored with a warning for "
-                        "flat/mat.")
+                        "benchmarks/bench_loader.py). Packs the balanced "
+                        "and flat train protocols and the filenames test "
+                        "protocol; the mat test protocol reads its .mat "
+                        "crops directly (noted with a message).")
 
 
 def _add_config_overrides(p: argparse.ArgumentParser) -> None:
@@ -969,7 +970,8 @@ def main(argv=None) -> int:
     p_par.add_argument("--num-workers", type=int, default=8)
     p_par.add_argument("--no-packed-cache", action="store_true",
                        help="disable the default packed uint8 crop cache "
-                            "(<workdir>/packed) and decode PNGs per epoch")
+                            "(.packed/ next to each tree, shared with "
+                            "--packed-cache auto) and decode PNGs per epoch")
     _add_config_overrides(p_par)
     p_par.set_defaults(fn=cmd_verify_parity)
 

@@ -12,8 +12,13 @@ of 96 decodes.
 
 Layout: `<cache_dir>/<cls>.npy` with shape (n_images, S, S, 3) in the
 index's canonical name order, plus `meta.json` recording the source path,
-image size, and per-class name lists (used both to map shuffled names to
-rows and to detect a stale cache).
+image size, per-class name lists (used both to map shuffled names to rows
+and to detect a stale cache) and a per-class stat fingerprint (file count,
+total bytes, newest mtime) so a re-generated tree with unchanged names is
+still detected as stale. Caches are built in a private tmp directory and
+installed with one atomic rename: concurrent packers (multi-host
+`--packed-cache auto`) never observe a partial cache, and a crash never
+leaves a torn `meta.json` behind.
 
 `PackedBalancedLoader` / `PackedTestLoader` reproduce the exact sampling
 semantics of their PNG counterparts (class-balanced modulo cycling with
@@ -25,17 +30,20 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import json
+import os
+import shutil
 from pathlib import Path
 from typing import Iterator, Sequence
 
 import numpy as np
 
 from multi_modal_regression_tpu.data.index import ClassBalancedIndex, FlatTestIndex
+from multi_modal_regression_tpu.data import native
 from multi_modal_regression_tpu.data.loader import (
     BalancedLoader,
     FlatLoader,
     TestLoader,
-    _prefetched,
+    _decode_image_pil,
     decode_image,
 )
 
@@ -65,12 +73,62 @@ class PackedCrops:
         r = self._rows[cls]
         return np.asarray([r[n] for n in names], np.int64)
 
-    def matches(self, db_path: str, classes: Sequence[str], image_size: int) -> bool:
+    def matches(
+        self,
+        db_path: str,
+        per_class: dict[str, list[str]],
+        image_size: int,
+        fingerprint: dict[str, list[int]],
+    ) -> bool:
+        """True iff this cache was packed from exactly this source: same
+        tree, same per-class name lists, same size, and same per-class
+        stat fingerprint (a regenerated tree with identical names changes
+        sizes/mtimes and is detected as stale)."""
         return (
             self.image_size == int(image_size)
             and self.meta.get("db_path") == str(db_path)
-            and list(self.meta["classes"].keys()) == list(classes)
+            and self.meta.get("classes") == per_class
+            and self.meta.get("fingerprint") == fingerprint
         )
+
+
+def _per_class_names(
+    index: ClassBalancedIndex | FlatTestIndex,
+) -> dict[str, list[str]]:
+    """Canonical-order image names per class (both index kinds)."""
+    if isinstance(index, ClassBalancedIndex):
+        return {
+            cls: [str(n) for n in names]
+            for cls, names in zip(index.classes, index.list_image_names)
+        }
+    return {
+        cls: [
+            str(n)
+            for n, l in zip(index.image_names, index.labels)
+            if index.classes[l] == cls
+        ]
+        for cls in index.classes
+    }
+
+
+def _source_fingerprint(
+    db_path: str | Path, per_class: dict[str, list[str]]
+) -> dict[str, list[int]]:
+    """Per-class [count, total bytes, newest mtime_ns] of the source PNGs.
+
+    Cheap (one stat per image) but sensitive to any re-crop / re-prep of
+    the tree, even when the file names stay identical."""
+    fp: dict[str, list[int]] = {}
+    for cls, names in per_class.items():
+        total = 0
+        newest = 0
+        for n in names:
+            st = os.stat(Path(db_path) / cls / f"{n}.png")
+            total += st.st_size
+            if st.st_mtime_ns > newest:
+                newest = st.st_mtime_ns
+        fp[cls] = [len(names), total, newest]
+    return fp
 
 
 def pack_index(
@@ -81,47 +139,85 @@ def pack_index(
 ) -> PackedCrops:
     """Decode every image of `index` once into `<cache_dir>/<cls>.npy`.
 
-    Idempotent: if a cache with matching source/classes/size exists it is
-    reused. Works for both index kinds (per-class name lists either way).
+    Idempotent: a cache whose source tree, name lists, size, and stat
+    fingerprint all match is reused; anything else (including a torn
+    meta.json from a crashed pack) triggers a repack. The build happens in
+    a sibling tmp directory installed by one atomic rename, so concurrent
+    packers on a shared filesystem are safe: the first rename wins and the
+    loser adopts the winner's cache.
     """
     cache_dir = Path(cache_dir)
-    if (cache_dir / "meta.json").exists():
-        pack = PackedCrops(cache_dir)
-        if pack.matches(index.db_path, index.classes, image_size):
+    per_class = _per_class_names(index)
+    fingerprint = _source_fingerprint(index.db_path, per_class)
+
+    def _existing() -> PackedCrops | None:
+        try:
+            pack = PackedCrops(cache_dir)
+        except (FileNotFoundError, json.JSONDecodeError, KeyError, OSError):
+            return None  # absent, torn, or unreadable -> repack
+        if pack.matches(index.db_path, per_class, image_size, fingerprint):
             return pack
-    cache_dir.mkdir(parents=True, exist_ok=True)
-    if isinstance(index, ClassBalancedIndex):
-        per_class = {
-            cls: [str(n) for n in names]
-            for cls, names in zip(index.classes, index.list_image_names)
-        }
-    else:
-        per_class = {
-            cls: [
-                str(n)
-                for n, l in zip(index.image_names, index.labels)
-                if index.classes[l] == cls
-            ]
-            for cls in index.classes
-        }
+        return None
+
+    pack = _existing()
+    if pack is not None:
+        return pack
+    tmp = cache_dir.parent / f".{cache_dir.name}.tmp-{os.getpid()}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
     with cf.ThreadPoolExecutor(num_workers) as pool:
         for cls, names in per_class.items():
-            out = np.empty((len(names), image_size, image_size, 3), np.uint8)
             paths = [
                 str(Path(index.db_path) / cls / f"{n}.png") for n in names
             ]
-            for i, img in enumerate(
-                pool.map(lambda p: decode_image(p, image_size), paths)
-            ):
-                out[i] = img
-            np.save(cache_dir / f"{cls}.npy", out)
+            res = native.decode_batch_native(paths, image_size, num_workers)
+            if res is not None:
+                # one GIL-free C++ call decodes the whole class in
+                # parallel; refused files (alpha/16-bit) fill in via PIL
+                out, ok = res
+                for i in np.flatnonzero(~ok):
+                    out[i] = _decode_image_pil(paths[i], image_size)
+            else:
+                out = np.empty(
+                    (len(names), image_size, image_size, 3), np.uint8
+                )
+                for i, img in enumerate(
+                    pool.map(lambda p: decode_image(p, image_size), paths)
+                ):
+                    out[i] = img
+            np.save(tmp / f"{cls}.npy", out)
     meta = {
         "db_path": str(index.db_path),
         "image_size": int(image_size),
         "classes": per_class,
+        "fingerprint": fingerprint,
     }
-    with open(cache_dir / "meta.json", "w") as f:
+    with open(tmp / "meta.json", "w") as f:
         json.dump(meta, f)
+    if cache_dir.exists():
+        # move the stale cache aside before deleting: open memmaps in a
+        # concurrent reader stay valid on the unlinked inodes (POSIX)
+        stale = cache_dir.parent / f".{cache_dir.name}.stale-{os.getpid()}"
+        try:
+            os.rename(cache_dir, stale)
+        except OSError:
+            pass  # a concurrent packer already replaced it
+        else:
+            shutil.rmtree(stale, ignore_errors=True)
+    cache_dir.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        os.rename(tmp, cache_dir)
+    except OSError:
+        # lost the install race; adopt the winner if it matches
+        shutil.rmtree(tmp, ignore_errors=True)
+        pack = _existing()
+        if pack is None:
+            raise RuntimeError(
+                f"concurrent pack at {cache_dir} does not match this "
+                f"index; remove the directory and re-run"
+            )
+        return pack
     return PackedCrops(cache_dir)
 
 
@@ -243,6 +339,3 @@ class PackedTestLoader(TestLoader):
                 label = np.concatenate([label, np.zeros(pad, np.int32)])
                 valid = np.concatenate([valid, np.zeros(pad, bool)])
             yield {"xdata": xdata, "euler": euler, "label": label, "valid": valid}
-
-    def __iter__(self) -> Iterator[dict]:
-        yield from _prefetched(self._gen, self.num_workers, self.prefetch_depth)

@@ -96,11 +96,15 @@ def run_parity_gate(
     """Run the full chain; returns (and writes) the parity table.
 
     packed_cache (default ON): pack the train/render/test trees into
-    uint8 memmap shards under <workdir>/packed on first use — the host
-    PNG decoders sustain only ~200 img/s against the chip's ~2400
-    (BASELINE.md round 4), so the real-data gate would otherwise be
-    host-bound. Pixels are byte-identical to the PNG decode path
-    (tests/test_data.py equivalence tests).
+    uint8 memmap shards on first use — the host PNG decoders sustain only
+    ~200 img/s against the chip's ~2400 (BASELINE.md round 4), so the
+    real-data gate would otherwise be host-bound. Each cache lives in a
+    `.packed` directory NEXT TO its tree (`<tree parent>/.packed/
+    <tree>_<size>px`) — the same location `train/evaluate --packed-cache
+    auto` uses — so a data root that already trained with the packed
+    cache pays no second decode pass and stores no second copy. Pixels
+    are byte-identical to the PNG decode path (tests/test_data.py
+    equivalence tests).
 
     data_root: the prepared tree (train/ test/ augmented2/ original/). If
     missing and db_path is given, stage 1 ingests the release into it.
@@ -182,6 +186,11 @@ def run_parity_gate(
         )
     load_size = cfg.device_resize_from or cfg.image_size
 
+    def tree_cache(tree: Path) -> Path:
+        # cli._packed_cache_dir's 'auto' layout: caches live next to their
+        # tree, shared with train/evaluate --packed-cache auto runs
+        return tree.parent / ".packed" / f"{tree.name}_{load_size}px"
+
     def balanced_loader(tree: Path, db_type: str, tag: str):
         index = ClassBalancedIndex(str(tree), db_type, classes=classes)
         if packed_cache:
@@ -191,7 +200,7 @@ def run_parity_gate(
             )
 
             pack = pack_index(
-                index, workdir / "packed" / f"{tag}_{load_size}px",
+                index, tree_cache(tree),
                 image_size=load_size, num_workers=workers,
             )
             return PackedBalancedLoader(
@@ -218,7 +227,7 @@ def run_parity_gate(
         test = PackedTestLoader(
             test_index,
             pack_index(
-                test_index, workdir / "packed" / f"test_{load_size}px",
+                test_index, tree_cache(data_root / "test"),
                 image_size=load_size, num_workers=workers,
             ),
             batch_size=cfg.eval_batch,

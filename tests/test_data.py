@@ -313,10 +313,18 @@ def test_packed_test_loader_matches_png(dataset, tmp_path):
         np.testing.assert_allclose(bp["euler"], bq["euler"], rtol=1e-6)
 
 
-def test_pack_index_idempotent_and_stale_detection(dataset, tmp_path):
-    from multi_modal_regression_tpu.data import pack_index
+def test_pack_index_idempotent_and_stale_detection(tmp_path):
+    from PIL import Image
 
-    idx = ClassBalancedIndex(str(dataset), "real", classes=CLASSES)
+    from multi_modal_regression_tpu.data import pack_index
+    from multi_modal_regression_tpu.data.loader import decode_image
+
+    # private tree: this test mutates source images
+    tree = generate_pose_dataset(
+        tmp_path / "src", classes=CLASSES, images_per_class=3,
+        image_size=48, seed=7,
+    )
+    idx = ClassBalancedIndex(str(tree), "real", classes=CLASSES)
     cache = tmp_path / "cache"
     pack_index(idx, cache, image_size=48, num_workers=2)
     mtimes = {p.name: p.stat().st_mtime_ns for p in cache.glob("*.npy")}
@@ -326,6 +334,20 @@ def test_pack_index_idempotent_and_stale_detection(dataset, tmp_path):
     pack = pack_index(idx, cache, image_size=32, num_workers=2)
     assert pack.image_size == 32
     assert pack.array(CLASSES[0]).shape[1:] == (32, 32, 3)
+    # a regenerated image with the SAME name invalidates too (the stat
+    # fingerprint catches re-cropped/re-prepped trees; round-4 review)
+    victim = sorted((tree / CLASSES[0]).glob("*.png"))[0]
+    Image.fromarray(255 - np.array(Image.open(victim))).save(victim)
+    pack = pack_index(idx, cache, image_size=32, num_workers=2)
+    row = int(pack.rows(CLASSES[0], [victim.stem])[0])
+    np.testing.assert_array_equal(
+        pack.array(CLASSES[0])[row], decode_image(str(victim), 32)
+    )
+    # a torn meta.json (crashed pack) repacks instead of raising forever
+    (cache / "meta.json").write_text('{"db_path": "trunc')
+    pack = pack_index(idx, cache, image_size=32, num_workers=2)
+    assert pack.image_size == 32
+    assert pack.array(CLASSES[1]).shape[1:] == (32, 32, 3)
 
 
 def test_packed_flat_loader_matches_png(dataset, tmp_path):
