@@ -350,6 +350,56 @@ def test_pack_index_idempotent_and_stale_detection(tmp_path):
     assert pack.array(CLASSES[1]).shape[1:] == (32, 32, 3)
 
 
+def test_pack_index_concurrent_processes(tmp_path):
+    """Two processes packing the same cache dir concurrently (the
+    multi-host --packed-cache auto scenario on a shared filesystem) both
+    succeed; the atomic tmp-dir install means neither ever observes a
+    partial cache."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    ROOT = Path(__file__).resolve().parent.parent
+    tree = generate_pose_dataset(
+        tmp_path / "src", classes=CLASSES, images_per_class=4,
+        image_size=48, seed=11,
+    )
+    cache = tmp_path / "cache"
+    script = (
+        "import sys; sys.path.insert(0, {root!r})\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from multi_modal_regression_tpu.data import pack_index\n"
+        "from multi_modal_regression_tpu.data.index import ClassBalancedIndex\n"
+        "idx = ClassBalancedIndex({tree!r}, 'real', classes={classes!r})\n"
+        "pack = pack_index(idx, {cache!r}, image_size=32, num_workers=2)\n"
+        "assert pack.image_size == 32\n"
+        "assert pack.array({cls!r}).shape[1:] == (32, 32, 3)\n"
+        "print('ok')\n"
+    ).format(
+        root=str(ROOT), tree=str(tree), cache=str(cache),
+        classes=tuple(CLASSES), cls=CLASSES[0],
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for _ in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "ok" in out
+    # exactly one installed cache, no leftover tmp/stale dirs
+    assert (cache / "meta.json").exists()
+    leftovers = [
+        d for d in cache.parent.iterdir()
+        if d.name.startswith(f".{cache.name}.")
+    ]
+    assert leftovers == []
+
+
 def test_packed_flat_loader_matches_png(dataset, tmp_path):
     from multi_modal_regression_tpu.data import (
         FlatLoader,
