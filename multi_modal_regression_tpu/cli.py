@@ -12,6 +12,8 @@ learnGeodesicBDModel.py:28-45):
   dictionary    learn a kmeans/GMM pose dictionary from render filenames
                 (learnKmeansDictionary.py / learnGMMDictionary.py)
   prepare-data  synthetic dataset generation (tests / smoke runs)
+  pack          prebuild the packed uint8 crop caches for these flags
+                (multi-host: run once before the --distributed launch)
 
 Data layout (reference convention): <data-root>/<real-subdir>/<class>/*.png
 with filename-encoded poses, same for render and test subdirs.
@@ -382,6 +384,33 @@ def cmd_train(args) -> int:
     trainer.save_checkpoint(state, "final")
     med = trainer.evaluate(state, test)
     print(f"final MedErr: {med:.4f} deg", flush=True)
+    return 0
+
+
+def cmd_pack(args) -> int:
+    """Prebuild the packed uint8 crop caches (data/packed.py) a
+    train/evaluate run with these flags would use, then stop.
+
+    Multi-host recipe: run `pack` once (any host) before launching the N
+    `--distributed` processes — every host then mmaps the shared cache.
+    Concurrent race-building is SAFE (atomic install, pack_index), but
+    each losing host decodes the whole tree once for nothing.
+    """
+    if not getattr(args, "packed_cache", None):
+        args.packed_cache = "auto"
+    cfg = _config_from_args(args)
+    real, render, test = _make_loaders(args, cfg)
+    built = False
+    for name, ld in (("train", real), ("render", render), ("test", test)):
+        pack = getattr(ld, "pack", None)
+        if pack is not None:
+            built = True
+            n = sum(len(v) for v in pack.meta["classes"].values())
+            print(f"packed {name}: {pack.cache_dir} ({n} images "
+                  f"@ {pack.image_size}px)", flush=True)
+    if not built:
+        print("nothing packed (mat protocols read .mat crops directly)",
+              flush=True)
     return 0
 
 
@@ -824,6 +853,19 @@ def main(argv=None) -> int:
     _add_common_data_args(p_train)
     _add_config_overrides(p_train)
     p_train.set_defaults(fn=cmd_train)
+
+    p_pack = sub.add_parser(
+        "pack",
+        help="prebuild the packed uint8 crop caches a train/evaluate run "
+             "with the same flags would use (multi-host: run once before "
+             "launching the --distributed processes)",
+    )
+    p_pack.add_argument("--preset", choices=sorted(PRESETS), required=True)
+    p_pack.add_argument("--train-data", choices=("both", "real", "render"),
+                        default="both")
+    _add_common_data_args(p_pack)
+    _add_config_overrides(p_pack)
+    p_pack.set_defaults(fn=cmd_pack)
 
     p_eval = sub.add_parser("evaluate", help="snapshot-ensemble evaluation")
     p_eval.add_argument("--preset", choices=sorted(PRESETS), required=True)

@@ -364,6 +364,29 @@ def test_every_registered_config_flag_is_forwarded():
     assert set(_OVERRIDE_FIELDS) <= cfg_fields
 
 
+def test_pack_subcommand_prebuilds_the_train_caches(data_root):
+    """`cli pack` builds exactly the caches a train run with the same
+    flags would use (the multi-host pre-launch recipe), and is
+    idempotent."""
+    rc = main([
+        "pack", "--preset", "simple_bd",
+        "--data-root", str(data_root),
+        *TINY_OVERRIDES,
+    ])
+    assert rc == 0
+    cache = data_root / ".packed"
+    assert (cache / "augmented2_32px" / "meta.json").exists()
+    assert (cache / "test_32px" / "meta.json").exists()
+    mtimes = {p: p.stat().st_mtime_ns for p in cache.rglob("*.npy")}
+    rc = main([
+        "pack", "--preset", "simple_bd",
+        "--data-root", str(data_root),
+        *TINY_OVERRIDES,
+    ])
+    assert rc == 0
+    assert mtimes == {p: p.stat().st_mtime_ns for p in cache.rglob("*.npy")}
+
+
 def test_train_packed_cache(data_root, dictionary_file, tmp_path):
     """--packed-cache auto: packs the crop trees on first use, trains from
     the memmap gathers (data/packed.py), and reuses the cache on rerun."""
