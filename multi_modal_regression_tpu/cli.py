@@ -108,6 +108,11 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
                         "converged models, e.g. snapshot-ensemble eval")
     p.add_argument("--device-resize-from", type=int, default=None,
                    help="ship raw images at this size; resize on device")
+    p.add_argument("--checkpoint-async",
+                   action=argparse.BooleanOptionalAction, default=None,
+                   help="write checkpoints on a background thread "
+                        "(single-process runs; default on — the D2H fetch "
+                        "stays synchronous, the disk IO leaves the loop)")
     p.add_argument("--train-flip", action="store_true", default=None,
                    help="random horizontal flips (+pose transform) in-step")
     p.add_argument("--workdir", type=str, default=None)
@@ -127,6 +132,7 @@ _OVERRIDE_FIELDS = (
     "items_per_batch", "image_size", "feature_network", "feature_layer",
     "multires", "compute_dtype", "device_resize_from", "train_flip",
     "remat", "optimizer_dtype", "lr_scaling", "frozen_bn",
+    "checkpoint_async",
 )
 
 
@@ -382,7 +388,8 @@ def cmd_train(args) -> int:
             state = _warm_start(trainer, state, args)
     state = trainer.fit(state, real, render, test_loader=test)
     trainer.save_checkpoint(state, "final")
-    med = trainer.evaluate(state, test)
+    med = trainer.evaluate(state, test)  # overlaps the background save
+    trainer.wait_for_checkpoints()
     print(f"final MedErr: {med:.4f} deg", flush=True)
     return 0
 

@@ -290,6 +290,8 @@ def run_parity_gate(
             state.replace(opt_state=trainer.init_state().opt_state),
             "ensemble_final",
         )
+        # the marker must never exist without its checkpoint committed
+        trainer.wait_for_checkpoints()
         done_marker.write_text(json.dumps({"snapshots": len(ev.snapshots)}))
     med_ens, ypred_ens = ev.ensemble()
     first = ev.snapshots[0]

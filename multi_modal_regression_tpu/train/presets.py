@@ -128,6 +128,12 @@ class ExperimentConfig:
     # fine-tuning converged models (snapshot-ensemble evaluation);
     # measured on-chip in BASELINE.md round 4
     frozen_bn: bool = False
+    # background-thread checkpoint writes (single-process runs): the D2H
+    # fetch stays synchronous (the train step donates its state buffers),
+    # the orbax serialization + disk IO leaves the training loop. Saves
+    # remain atomic; Trainer.wait_for_checkpoints() observes completion.
+    # Multi-host saves are always synchronous (orbax global barrier).
+    checkpoint_async: bool = True
     tensorboard: bool = False  # also emit TB scalars (utils.metrics_writer)
     # snapshot-ensemble evaluation (helperFunctions.py:64,112-118)
     eval_alpha1: float = 1e-6

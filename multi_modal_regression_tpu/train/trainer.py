@@ -75,6 +75,8 @@ class Trainer:
             self.workdir.mkdir(parents=True, exist_ok=True)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.val_history: list[float] = []  # MedErr curve (plots/<S>.mat role)
+        self._save_thread = None  # in-flight background checkpoint write
+        self._save_error: BaseException | None = None
         self.model = build_model(config)
         self.problem = build_problem(config, dictionary)
         self.tx = build_optimizer(config)
@@ -169,17 +171,65 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         path = (self.workdir / "checkpoints" / name).absolute()
-        # multi-host: EVERY process must call save (orbax synchronizes via
-        # a global barrier and writes each shard from its primary holder);
-        # pass the global jax.Arrays through. Single-process keeps the
-        # host-fetch (one D2H through the TPU tunnel, then pure-host I/O).
-        payload = state if jax.process_count() > 1 else jax.device_get(state)
-        with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, payload, force=True)
+        if jax.process_count() > 1:
+            # multi-host: EVERY process must call save (orbax synchronizes
+            # via a global barrier and writes each shard from its primary
+            # holder); pass the global jax.Arrays through, synchronously —
+            # the train step DONATES the state, so a background save
+            # reading live device buffers would race the next step's
+            # in-place update
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(path, state, force=True)
+            return
+        # single process: fetch to host synchronously (the donated device
+        # buffers are invalid the moment the next step runs; the host copy
+        # is immortal), then serialize+write on a background thread — the
+        # orbax msgpack/IO cost leaves the training loop
+        # (config.checkpoint_async, default on)
+        payload = jax.device_get(state)
+        self.wait_for_checkpoints()  # one save in flight at a time
+
+        def _write() -> None:
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(path, payload, force=True)
+
+        if self.config.checkpoint_async:
+            import threading
+
+            t = threading.Thread(
+                target=self._run_save, args=(_write,),
+                name=f"ckpt-save-{name}", daemon=False,
+            )
+            self._save_thread = t
+            t.start()
+        else:
+            _write()
+
+    def _run_save(self, write_fn) -> None:
+        try:
+            write_fn()
+        except BaseException as e:  # surfaced by wait_for_checkpoints
+            self._save_error = e
+
+    def wait_for_checkpoints(self) -> None:
+        """Block until the in-flight background save (if any) commits,
+        re-raising its error. Orbax writes are atomic (tmp + rename), and
+        the thread is non-daemon, so even without this call an exiting
+        process finishes the write — this makes completion (and failure)
+        observable at the call site."""
+        t = getattr(self, "_save_thread", None)
+        if t is not None:
+            t.join()
+            self._save_thread = None
+        err = getattr(self, "_save_error", None)
+        if err is not None:
+            self._save_error = None
+            raise RuntimeError("background checkpoint save failed") from err
 
     def restore_checkpoint(self, name: str = "last") -> TrainState:
         import orbax.checkpoint as ocp
 
+        self.wait_for_checkpoints()  # don't read a checkpoint mid-write
         path = (self.workdir / "checkpoints" / name).absolute()
         template = jax.device_get(self.init_state())
         abstract = jax.tree.map(
@@ -319,6 +369,9 @@ class Trainer:
                 self.workdir / "plots.npz",
                 val_loss=np.asarray(self.val_history),
             )
+        # every epoch/best save is committed when fit() returns (callers —
+        # CLI, parity gate, tests — may read the run dir immediately)
+        self.wait_for_checkpoints()
         return state
 
     # -- evaluation -------------------------------------------------------

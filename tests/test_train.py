@@ -409,6 +409,40 @@ def test_frozen_bn_step(dataset, centers):
     assert moved
 
 
+def test_async_checkpoint_matches_sync(dataset, centers, tmp_path):
+    """checkpoint_async (default on): the background write commits an
+    identical checkpoint, rapid successive saves serialize (last one
+    wins), and wait_for_checkpoints makes completion observable."""
+    states = {}
+    for mode, async_on in (("async", True), ("sync", False)):
+        cfg = get_config("geodesic_bd", **TINY).replace(
+            checkpoint_async=async_on
+        )
+        trainer = Trainer(
+            cfg, dictionary=KMeansDictionary(cluster_centers=centers),
+            workdir=tmp_path / mode,
+        )
+        real, render, _ = _loaders(dataset, cfg)
+        state = trainer.init_state()
+        step = trainer.train_step_fn("main")
+        for batch in real:
+            b = trainer.shard_batch(batch)
+            trainer.save_checkpoint(state)  # save while stepping: the
+            state, _ = step(state, b)       # donated update must not
+            break                           # corrupt the in-flight save
+        trainer.save_checkpoint(state)      # rapid second save
+        trainer.wait_for_checkpoints()
+        restored = trainer.restore_checkpoint()
+        assert int(restored.step) == int(state.step)  # last save won
+        states[mode] = jax.device_get(restored.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        states["async"], states["sync"],
+    )
+
+
 def test_big_batch_matched_steps_converges(tmp_path_factory):
     """The validated scale-out recipe (SCALING.md round 4): growing the
     global batch 8x with UNSCALED Adam LR and matched STEPS converges at
