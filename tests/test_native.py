@@ -91,6 +91,38 @@ def test_native_batch_matches_and_flags_failures(png_zoo, tmp_path):
         np.testing.assert_array_equal(out[i], _decode_image_pil(str(p), 64))
 
 
+def test_mmr_native_0_disables_and_decodes_identically(png_zoo, tmp_path):
+    """MMR_NATIVE=0 (the kill switch) must leave decode_image fully
+    functional on the pure-PIL path with identical output."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    supported, _ = png_zoo
+    p = str(supported[0])
+    ref = _decode_image_pil(p, 40)
+    out_npy = tmp_path / "out.npy"
+    root = Path(__file__).resolve().parent.parent
+    script = (
+        "import sys; sys.path.insert(0, {root!r})\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from multi_modal_regression_tpu.data import native\n"
+        "from multi_modal_regression_tpu.data.loader import decode_image\n"
+        "assert not native.available()\n"
+        "assert native.decode_image_native({p!r}, 40) is None\n"
+        "np.save({out!r}, decode_image({p!r}, 40))\n"
+    ).format(root=str(root), p=p, out=str(out_npy))
+    env = {**os.environ, "MMR_NATIVE": "0"}
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    np.testing.assert_array_equal(np.load(out_npy), ref)
+
+
 def test_decode_image_uses_native_path(png_zoo):
     """The public API routes through the native decoder for supported
     files (and its output equals the PIL path bit-for-bit)."""
