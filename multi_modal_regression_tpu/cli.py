@@ -210,12 +210,13 @@ def _classes_from_args(args):
 
 
 def _packed_cache_dir(args, load_size: int, subdir: str) -> Path:
-    base = (
-        Path(args.data_root) / ".packed"
-        if args.packed_cache == "auto"
-        else Path(args.packed_cache)
-    )
-    return base / f"{subdir}_{load_size}px"
+    if args.packed_cache == "auto":
+        # one shared layout definition (data/packed.py): caches live next
+        # to their tree, reused by pack/train/evaluate/verify-parity
+        from multi_modal_regression_tpu.data.packed import default_cache_dir
+
+        return default_cache_dir(Path(args.data_root) / subdir, load_size)
+    return Path(args.packed_cache) / f"{subdir}_{load_size}px"
 
 
 def _make_test_loader(args, cfg, classes, load_size,
@@ -407,17 +408,14 @@ def cmd_pack(args) -> int:
         args.packed_cache = "auto"
     cfg = _config_from_args(args)
     real, render, test = _make_loaders(args, cfg)
-    built = False
+    # the train loaders always pack; only the mat TEST protocol doesn't
+    # (it reads pre-decoded .mat crops — _make_test_loader prints so)
     for name, ld in (("train", real), ("render", render), ("test", test)):
         pack = getattr(ld, "pack", None)
         if pack is not None:
-            built = True
             n = sum(len(v) for v in pack.meta["classes"].values())
             print(f"packed {name}: {pack.cache_dir} ({n} images "
                   f"@ {pack.image_size}px)", flush=True)
-    if not built:
-        print("nothing packed (mat protocols read .mat crops directly)",
-              flush=True)
     return 0
 
 

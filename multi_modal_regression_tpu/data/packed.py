@@ -29,9 +29,11 @@ loaders and override only the pixel source.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import hashlib
 import json
 import os
 import shutil
+import time
 from pathlib import Path
 from typing import Iterator, Sequence
 
@@ -78,18 +80,27 @@ class PackedCrops:
         db_path: str,
         per_class: dict[str, list[str]],
         image_size: int,
-        fingerprint: dict[str, list[int]],
+        fingerprint: dict[str, str],
     ) -> bool:
         """True iff this cache was packed from exactly this source: same
         tree, same per-class name lists, same size, and same per-class
-        stat fingerprint (a regenerated tree with identical names changes
-        sizes/mtimes and is detected as stale)."""
+        stat digest (any per-file size/mtime/name change — a re-crop, a
+        re-prep, an added or removed image — changes the digest)."""
         return (
             self.image_size == int(image_size)
             and self.meta.get("db_path") == str(db_path)
             and self.meta.get("classes") == per_class
             and self.meta.get("fingerprint") == fingerprint
         )
+
+
+def default_cache_dir(tree: str | Path, image_size: int) -> Path:
+    """The `--packed-cache auto` layout: caches live NEXT TO their tree
+    (`<parent>/.packed/<name>_<size>px`). One definition shared by
+    train/evaluate/predict, `cli pack`, and the verify-parity gate, so
+    the same tree never packs twice."""
+    tree = Path(tree)
+    return tree.parent / ".packed" / f"{tree.name}_{image_size}px"
 
 
 def _per_class_names(
@@ -113,22 +124,48 @@ def _per_class_names(
 
 def _source_fingerprint(
     db_path: str | Path, per_class: dict[str, list[str]]
-) -> dict[str, list[int]]:
-    """Per-class [count, total bytes, newest mtime_ns] of the source PNGs.
+) -> dict[str, str]:
+    """Per-class sha256 over every file's (name, size, mtime_ns).
 
-    Cheap (one stat per image) but sensitive to any re-crop / re-prep of
-    the tree, even when the file names stay identical."""
-    fp: dict[str, list[int]] = {}
+    One stat per image; ANY per-file change — a rewrite, a re-prep, a
+    timestamp-preserving restore whose sizes differ — changes the digest
+    (aggregate count/total/newest fingerprints miss restores that keep
+    old mtimes; round-4 review). The remaining blind spot is the same as
+    make/rsync's: equal-size content swaps under preserved timestamps."""
+    fp: dict[str, str] = {}
     for cls, names in per_class.items():
-        total = 0
-        newest = 0
+        h = hashlib.sha256()
         for n in names:
             st = os.stat(Path(db_path) / cls / f"{n}.png")
-            total += st.st_size
-            if st.st_mtime_ns > newest:
-                newest = st.st_mtime_ns
-        fp[cls] = [len(names), total, newest]
+            h.update(f"{n}:{st.st_size}:{st.st_mtime_ns};".encode())
+        fp[cls] = h.hexdigest()
     return fp
+
+
+def _sweep_orphans(cache_dir: Path, max_age_s: float = 600.0) -> None:
+    """Remove crashed packers' leftovers: sibling `.<name>.tmp-*` /
+    `.<name>.stale-*` directories whose newest content mtime is older
+    than `max_age_s`. A LIVE concurrent pack keeps its tmp dir fresh
+    (np.save streams into it), so the age guard never sweeps an
+    in-progress build; a SIGKILLed pack of a production-size tree no
+    longer strands tens of GB next to the data (round-4 review)."""
+    parent = cache_dir.parent
+    if not parent.exists():
+        return
+    now = time.time()
+    prefixes = (f".{cache_dir.name}.tmp-", f".{cache_dir.name}.stale-")
+    for d in parent.iterdir():
+        if not d.name.startswith(prefixes):
+            continue
+        try:
+            newest = max(
+                (p.stat().st_mtime for p in d.rglob("*")),
+                default=d.stat().st_mtime,
+            )
+        except OSError:
+            continue  # vanished under us (another sweeper)
+        if now - newest > max_age_s:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def pack_index(
@@ -162,31 +199,32 @@ def pack_index(
     pack = _existing()
     if pack is not None:
         return pack
+    _sweep_orphans(cache_dir)
     tmp = cache_dir.parent / f".{cache_dir.name}.tmp-{os.getpid()}"
     if tmp.exists():
         shutil.rmtree(tmp)
     tmp.mkdir(parents=True)
-    with cf.ThreadPoolExecutor(num_workers) as pool:
-        for cls, names in per_class.items():
-            paths = [
-                str(Path(index.db_path) / cls / f"{n}.png") for n in names
-            ]
-            res = native.decode_batch_native(paths, image_size, num_workers)
-            if res is not None:
-                # one GIL-free C++ call decodes the whole class in
-                # parallel; refused files (alpha/16-bit) fill in via PIL
-                out, ok = res
-                for i in np.flatnonzero(~ok):
-                    out[i] = _decode_image_pil(paths[i], image_size)
-            else:
-                out = np.empty(
-                    (len(names), image_size, image_size, 3), np.uint8
-                )
+    for cls, names in per_class.items():
+        paths = [
+            str(Path(index.db_path) / cls / f"{n}.png") for n in names
+        ]
+        res = native.decode_batch_native(paths, image_size, num_workers)
+        if res is not None:
+            # one GIL-free C++ call decodes the whole class in
+            # parallel; refused files (alpha/16-bit) fill in via PIL
+            out, ok = res
+            for i in np.flatnonzero(~ok):
+                out[i] = _decode_image_pil(paths[i], image_size)
+        else:  # no native library: PIL decode on a thread pool
+            out = np.empty(
+                (len(names), image_size, image_size, 3), np.uint8
+            )
+            with cf.ThreadPoolExecutor(num_workers) as pool:
                 for i, img in enumerate(
                     pool.map(lambda p: decode_image(p, image_size), paths)
                 ):
                     out[i] = img
-            np.save(tmp / f"{cls}.npy", out)
+        np.save(tmp / f"{cls}.npy", out)
     meta = {
         "db_path": str(index.db_path),
         "image_size": int(image_size),
@@ -195,30 +233,35 @@ def pack_index(
     }
     with open(tmp / "meta.json", "w") as f:
         json.dump(meta, f)
-    if cache_dir.exists():
-        # move the stale cache aside before deleting: open memmaps in a
-        # concurrent reader stay valid on the unlinked inodes (POSIX)
-        stale = cache_dir.parent / f".{cache_dir.name}.stale-{os.getpid()}"
-        try:
-            os.rename(cache_dir, stale)
-        except OSError:
-            pass  # a concurrent packer already replaced it
-        else:
-            shutil.rmtree(stale, ignore_errors=True)
     cache_dir.parent.mkdir(parents=True, exist_ok=True)
-    try:
-        os.rename(tmp, cache_dir)
-    except OSError:
-        # lost the install race; adopt the winner if it matches
-        shutil.rmtree(tmp, ignore_errors=True)
+    for _ in range(2):
+        # a concurrent packer may have installed a MATCHING cache while
+        # we decoded: adopt it — never tear down a cache readers may
+        # already be training from (round-4 review)
         pack = _existing()
-        if pack is None:
-            raise RuntimeError(
-                f"concurrent pack at {cache_dir} does not match this "
-                f"index; remove the directory and re-run"
-            )
-        return pack
-    return PackedCrops(cache_dir)
+        if pack is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return pack
+        if cache_dir.exists():
+            # genuinely stale: move aside before deleting (open memmaps
+            # in a concurrent reader stay valid on the unlinked inodes)
+            stale = cache_dir.parent / f".{cache_dir.name}.stale-{os.getpid()}"
+            try:
+                os.rename(cache_dir, stale)
+            except OSError:
+                pass  # another packer already moved it
+            else:
+                shutil.rmtree(stale, ignore_errors=True)
+        try:
+            os.rename(tmp, cache_dir)
+            return PackedCrops(cache_dir)
+        except OSError:
+            continue  # lost the install race; re-check the winner
+    shutil.rmtree(tmp, ignore_errors=True)
+    raise RuntimeError(
+        f"concurrent pack at {cache_dir} does not match this index; "
+        f"remove the directory and re-run"
+    )
 
 
 class PackedBalancedLoader(BalancedLoader):

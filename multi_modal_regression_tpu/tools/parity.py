@@ -186,23 +186,34 @@ def run_parity_gate(
         )
     load_size = cfg.device_resize_from or cfg.image_size
 
-    def tree_cache(tree: Path) -> Path:
-        # cli._packed_cache_dir's 'auto' layout: caches live next to their
-        # tree, shared with train/evaluate --packed-cache auto runs
-        return tree.parent / ".packed" / f"{tree.name}_{load_size}px"
+    def packed(index, tree: Path):
+        """Pack next to the tree (the shared `auto` layout,
+        data/packed.py default_cache_dir); a READ-ONLY data volume falls
+        back to a workdir-local cache instead of crashing the gate."""
+        from multi_modal_regression_tpu.data.packed import (
+            default_cache_dir,
+            pack_index,
+        )
 
-    def balanced_loader(tree: Path, db_type: str, tag: str):
-        index = ClassBalancedIndex(str(tree), db_type, classes=classes)
-        if packed_cache:
-            from multi_modal_regression_tpu.data import (
-                PackedBalancedLoader,
-                pack_index,
-            )
-
-            pack = pack_index(
-                index, tree_cache(tree),
+        try:
+            return pack_index(
+                index, default_cache_dir(tree, load_size),
                 image_size=load_size, num_workers=workers,
             )
+        except OSError as e:
+            fallback = workdir / "packed" / f"{tree.name}_{load_size}px"
+            log(f"[pack] {tree}: cache next to tree unavailable ({e}); "
+                f"using {fallback}")
+            return pack_index(
+                index, fallback, image_size=load_size, num_workers=workers,
+            )
+
+    def balanced_loader(tree: Path, db_type: str):
+        index = ClassBalancedIndex(str(tree), db_type, classes=classes)
+        if packed_cache:
+            from multi_modal_regression_tpu.data import PackedBalancedLoader
+
+            pack = packed(index, tree)
             return PackedBalancedLoader(
                 index, pack, items_per_batch=cfg.items_per_batch,
                 seed=cfg.seed,
@@ -212,24 +223,18 @@ def run_parity_gate(
             seed=cfg.seed,
         )
 
-    real = balanced_loader(data_root / real_sub, "real", real_sub)
+    real = balanced_loader(data_root / real_sub, "real")
     render = (
-        balanced_loader(Path(render_root), "render", "render")
+        balanced_loader(Path(render_root), "render")
         if render_root else None
     )
     test_index = FlatTestIndex(str(data_root / "test"), classes=classes)
     if packed_cache:
-        from multi_modal_regression_tpu.data import (
-            PackedTestLoader,
-            pack_index,
-        )
+        from multi_modal_regression_tpu.data import PackedTestLoader
 
         test = PackedTestLoader(
             test_index,
-            pack_index(
-                test_index, tree_cache(data_root / "test"),
-                image_size=load_size, num_workers=workers,
-            ),
+            packed(test_index, data_root / "test"),
             batch_size=cfg.eval_batch,
         )
     else:

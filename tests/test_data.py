@@ -350,6 +350,37 @@ def test_pack_index_idempotent_and_stale_detection(tmp_path):
     assert pack.array(CLASSES[1]).shape[1:] == (32, 32, 3)
 
 
+def test_pack_index_sweeps_dead_orphans_keeps_live_ones(tmp_path):
+    """A crashed packer's old .tmp-/.stale- leftovers are swept on the
+    next pack; a FRESH tmp dir (a live concurrent build) survives."""
+    import os
+    import time as _time
+
+    from multi_modal_regression_tpu.data import pack_index
+
+    tree = generate_pose_dataset(
+        tmp_path / "src", classes=CLASSES, images_per_class=3,
+        image_size=48, seed=13,
+    )
+    idx = ClassBalancedIndex(str(tree), "real", classes=CLASSES)
+    cache = tmp_path / "cache"
+    dead = tmp_path / ".cache.tmp-99999"
+    dead.mkdir()
+    (dead / "x.npy").write_bytes(b"\0" * 64)
+    old = _time.time() - 3600
+    os.utime(dead / "x.npy", (old, old))
+    os.utime(dead, (old, old))
+    stale = tmp_path / ".cache.stale-99998"
+    stale.mkdir()
+    os.utime(stale, (old, old))
+    live = tmp_path / ".cache.tmp-88888"
+    live.mkdir()
+    (live / "y.npy").write_bytes(b"\0")  # fresh mtime: in-progress build
+    pack_index(idx, cache, image_size=32, num_workers=2)
+    assert not dead.exists() and not stale.exists()
+    assert live.exists()
+
+
 def test_pack_index_concurrent_processes(tmp_path):
     """Two processes packing the same cache dir concurrently (the
     multi-host --packed-cache auto scenario on a shared filesystem) both
