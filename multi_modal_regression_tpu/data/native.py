@@ -29,7 +29,7 @@ from pathlib import Path
 import numpy as np
 
 _SRC = Path(__file__).resolve().parent.parent / "native" / "decode.cc"
-_ABI = 1
+_ABI = 2
 
 _lib: ctypes.CDLL | None = None
 _lib_checked = False
@@ -105,6 +105,11 @@ def _load_locked() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.mmr_decode_resize_batch.restype = ctypes.c_int
+    lib.mmr_encode_png.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.mmr_encode_png.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -129,6 +134,36 @@ def decode_image_native(path: str, size: int) -> np.ndarray | None:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out if rc == 0 else None
+
+
+def save_png(arr: np.ndarray, path: str | Path, compress_level: int = 6) -> None:
+    """Write an (H, W, 3) uint8 array as a PNG.
+
+    Uses the native libpng encoder when available (GIL released for the
+    whole zlib deflate — the prep tools' ThreadPoolExecutor then scales
+    across cores; setupData*_pascal3d.m's crop-writing is the reference's
+    slowest one-time stage) and PIL otherwise. PNG is LOSSLESS: pixels
+    round-trip bit-identically whichever encoder wrote the file (asserted
+    by tests/test_native.py); only the container bytes differ.
+    """
+    lib = _load()
+    if (
+        lib is not None
+        and arr.ndim == 3
+        and arr.shape[2] == 3
+        and arr.dtype == np.uint8
+    ):
+        a = np.ascontiguousarray(arr)
+        rc = lib.mmr_encode_png(
+            os.fsencode(str(path)),
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(a.shape[1]), int(a.shape[0]), int(compress_level),
+        )
+        if rc == 0:
+            return
+    from PIL import Image
+
+    Image.fromarray(arr).save(path)
 
 
 def decode_batch_native(

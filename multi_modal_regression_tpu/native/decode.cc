@@ -231,6 +231,48 @@ int decode_png_rgb(const char* path, std::vector<uint8_t>* pixels, int* out_w,
   return 0;
 }
 
+// ---------------------------------------------------------------------
+// libpng encode of RGB8. PNG is lossless: pixels round-trip identically
+// no matter which encoder wrote them, so the prep tools can use this
+// freely (only file bytes/compression differ from PIL's writer).
+// ---------------------------------------------------------------------
+int encode_png_rgb(const char* path, const uint8_t* data, int w, int h,
+                   int compress_level) {
+  FILE* fp = std::fopen(path, "wb");
+  if (!fp) return 1;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    std::fclose(fp);
+    return 1;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    std::fclose(fp);
+    return 1;
+  }
+  std::vector<png_bytep> rows;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    std::fclose(fp);
+    return 1;
+  }
+  png_init_io(png, fp);
+  png_set_compression_level(png, compress_level);
+  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  rows.resize(h);
+  for (int y = 0; y < h; ++y)
+    rows[y] = const_cast<png_bytep>(data + static_cast<size_t>(y) * w * 3);
+  png_write_image(png, rows.data());
+  png_write_end(png, info);
+  png_destroy_write_struct(&png, &info);
+  std::fclose(fp);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -272,7 +314,14 @@ int mmr_decode_resize_batch(const char** paths, int n, int size, uint8_t* out,
   return failures.load();
 }
 
+// Write (h, w, 3) RGB8 as a PNG (zlib `compress_level`, PIL default 6).
+// Returns 0 ok, 1 error.
+int mmr_encode_png(const char* path, const uint8_t* data, int w, int h,
+                   int compress_level) {
+  return encode_png_rgb(path, data, w, h, compress_level);
+}
+
 // ABI/version handshake for the ctypes wrapper.
-int mmr_native_abi_version() { return 1; }
+int mmr_native_abi_version() { return 2; }
 
 }  // extern "C"

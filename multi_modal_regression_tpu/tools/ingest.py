@@ -35,6 +35,7 @@ from typing import Callable, Sequence
 import numpy as np
 from PIL import Image
 
+from multi_modal_regression_tpu.data.native import save_png
 from multi_modal_regression_tpu.data.naming import PASCAL3D_CLASSES, make_name
 from multi_modal_regression_tpu.tools.pascal3d_prep import (
     ObjectAnnotation,
@@ -244,7 +245,7 @@ def write_test_crops(
         name = make_name(
             f"{cls}_{imageid}object{j}", obj.az, obj.el, obj.ct, obj.distance
         )
-        Image.fromarray(patch).save(save_dir / f"{name}.png")
+        save_png(patch, save_dir / f"{name}.png")
         names.append(name)
     return names
 
@@ -497,7 +498,7 @@ def prepare_objectnet3d(
             az, el, ct, d = obj.az, obj.el, obj.ct, obj.distance
             if not train:
                 name_out = make_name(prefix, az, el, ct, d)
-                Image.fromarray(patch).save(save_dir / f"{name_out}.png")
+                save_png(patch, save_dir / f"{name_out}.png")
                 written.append((obj.cls, name_out))
                 continue
             flipped = np.ascontiguousarray(patch[:, ::-1])
@@ -505,7 +506,7 @@ def prepare_objectnet3d(
                 for k in range(4):  # imrotate 0/90/180/270 (CCW), ct - 90k
                     rot = np.ascontiguousarray(np.rot90(base, k))
                     name_out = make_name(prefix, a, el, c - 90.0 * k, d)
-                    Image.fromarray(rot).save(save_dir / f"{name_out}.png")
+                    save_png(rot, save_dir / f"{name_out}.png")
                     written.append((obj.cls, name_out))
         return written
 
@@ -776,7 +777,7 @@ def prepare_objectnet_detected(
             if img is None:
                 return 0
             patch = crop_patch(img, box, max_size=size)
-            Image.fromarray(patch).save(cls_dir / f"{cls}_{j:08d}.png")
+            save_png(patch, cls_dir / f"{cls}_{j:08d}.png")
             return 1
 
         rows = [

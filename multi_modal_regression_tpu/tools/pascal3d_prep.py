@@ -30,6 +30,7 @@ from typing import Sequence
 import numpy as np
 from PIL import Image
 
+from multi_modal_regression_tpu.data.native import save_png
 from multi_modal_regression_tpu.data.naming import make_name
 
 
@@ -254,7 +255,7 @@ def write_flipped_crops(
             (np.ascontiguousarray(patch[:, ::-1]), (-obj.az, obj.el, -obj.ct)),
         ):
             name = make_name(prefix, az, el, ct, obj.distance)
-            Image.fromarray(p).save(save_dir / f"{name}.png")
+            save_png(p, save_dir / f"{name}.png")
             names.append(name)
     return names
 
@@ -403,7 +404,7 @@ def write_augmented_crops(
                 _correct_angle(az), _correct_angle(el), _correct_angle(ct),
                 obj.distance,
             )
-            Image.fromarray(patch).save(save_dir / f"{name}.png")
+            save_png(patch, save_dir / f"{name}.png")
             names.append(name)
     return names
 

@@ -91,6 +91,31 @@ def test_native_batch_matches_and_flags_failures(png_zoo, tmp_path):
         np.testing.assert_array_equal(out[i], _decode_image_pil(str(p), 64))
 
 
+def test_native_png_encoder_lossless_and_pil_readable(tmp_path):
+    """save_png writes PNGs whose pixels round-trip bit-identically (PNG
+    is lossless — encoder choice can never change data) and which PIL
+    reads back like any other PNG; non-RGB arrays fall back to PIL."""
+    from PIL import Image as PILImage
+
+    from multi_modal_regression_tpu.data.native import save_png
+
+    rng = np.random.default_rng(7)
+    for h, w in [(48, 48), (33, 129), (300, 200)]:
+        arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        p = tmp_path / f"n_{h}x{w}.png"
+        save_png(arr, p)
+        with PILImage.open(p) as img:
+            np.testing.assert_array_equal(np.asarray(img.convert("RGB")), arr)
+        # and the native decoder reads its own output
+        nat = native.decode_image_native(str(p), w)
+        assert nat is not None
+    gray = rng.integers(0, 256, (20, 30), np.uint8)
+    pg = tmp_path / "gray.png"
+    save_png(gray, pg)  # non-RGB shape -> PIL fallback path
+    with PILImage.open(pg) as img:
+        np.testing.assert_array_equal(np.asarray(img), gray)
+
+
 def test_mmr_native_0_disables_and_decodes_identically(png_zoo, tmp_path):
     """MMR_NATIVE=0 (the kill switch) must leave decode_image fully
     functional on the pure-PIL path with identical output."""
