@@ -26,8 +26,11 @@ import sys
 from pathlib import Path
 
 
-def _add_common_data_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--data-root", type=str, required=True)
+def _add_common_data_args(
+    p: argparse.ArgumentParser, required_data_root: bool = True
+) -> None:
+    p.add_argument("--data-root", type=str, required=required_data_root,
+                   default=None if required_data_root else ".")
     p.add_argument("--real-subdir", type=str, default="augmented2")
     p.add_argument("--render-subdir", type=str, default="renderforcnn")
     p.add_argument("--test-subdir", type=str, default="test")
@@ -60,10 +63,11 @@ def _add_common_data_args(p: argparse.ArgumentParser) -> None:
                         "use and reuses it after, or give an explicit "
                         "cache root. Replaces per-image PNG decodes with "
                         "memmap gathers (~16x host throughput, "
-                        "benchmarks/bench_loader.py). Packs the balanced "
-                        "and flat train protocols and the filenames test "
-                        "protocol; the mat test protocol reads its .mat "
-                        "crops directly (noted with a message).")
+                        "benchmarks/bench_loader.py). Packs every "
+                        "protocol: balanced/flat train trees, the "
+                        "filenames test tree, and the mat crop sets "
+                        "(one loadmat+resize pass instead of one per "
+                        "snapshot).")
 
 
 def _add_config_overrides(p: argparse.ArgumentParser) -> None:
@@ -227,16 +231,35 @@ def _make_test_loader(args, cfg, classes, load_size,
     hosts = dict(host_count=host_count, host_index=host_index)
     root = Path(args.data_root)
     if getattr(args, "test_protocol", "filenames") == "mat":
-        if getattr(args, "packed_cache", None):
-            print("--packed-cache: mat test protocol not packed; using "
-                  ".mat crops directly", flush=True)
         mat_root = args.mat_root or str(root / "original")
+        # evaluate at the resolution the experiment trains at — the
+        # .mat crops are whatever the prep wrote (224); a config with
+        # --image-size 112 must not silently evaluate at 224
+        index = MatCropIndex(mat_root, args.mat_split, classes=classes)
+        if getattr(args, "packed_cache", None):
+            from multi_modal_regression_tpu.data import (
+                PackedMatCropLoader,
+                pack_mat_index,
+            )
+
+            mat_tree = Path(mat_root)
+            base = (
+                mat_tree.parent / ".packed"
+                if args.packed_cache == "auto"
+                else Path(args.packed_cache)
+            )
+            pack = pack_mat_index(
+                index,
+                base / f"{mat_tree.name}_{args.mat_split}_"
+                       f"{cfg.image_size}px_mat",
+                image_size=cfg.image_size, num_workers=args.num_workers,
+            )
+            return PackedMatCropLoader(
+                index, pack, batch_size=cfg.eval_batch, **hosts
+            )
         return MatCropLoader(
-            MatCropIndex(mat_root, args.mat_split, classes=classes),
+            index,
             batch_size=cfg.eval_batch,
-            # evaluate at the resolution the experiment trains at — the
-            # .mat crops are whatever the prep wrote (224); a config with
-            # --image-size 112 must not silently evaluate at 224
             image_size=cfg.image_size,
             num_workers=args.num_workers, **hosts,
         )
@@ -408,8 +431,6 @@ def cmd_pack(args) -> int:
         args.packed_cache = "auto"
     cfg = _config_from_args(args)
     real, render, test = _make_loaders(args, cfg)
-    # the train loaders always pack; only the mat TEST protocol doesn't
-    # (it reads pre-decoded .mat crops — _make_test_loader prints so)
     for name, ld in (("train", real), ("render", render), ("test", test)):
         pack = getattr(ld, "pack", None)
         if pack is not None:
@@ -561,17 +582,12 @@ def cmd_predict(args) -> int:
         print(f"wrote {out} ({n} detections over {len(index)} images)", flush=True)
         return 0
 
-    from multi_modal_regression_tpu.data import FlatTestIndex, TestLoader
-
-    test = TestLoader(
-        FlatTestIndex(
-            str(Path(args.data_root) / args.test_subdir),
-            classes=_classes_from_args(args),
-        ),
-        cfg.eval_batch,
-        cfg.device_resize_from or cfg.image_size,
-        num_workers=args.num_workers,
-        host_count=host_count, host_index=host_index,
+    # full test-protocol support (filenames PNG tree, packed cache, or the
+    # Pascal3dAll .mat crop protocol) — same loader construction as
+    # train/evaluate
+    test = _make_test_loader(
+        args, cfg, _classes_from_args(args),
+        cfg.device_resize_from or cfg.image_size, host_count, host_index,
     )
     ytrue, ypred, labels = trainer.predict(state, test)
     out = Path(workdir) / f"results_{args.save_str}.npz"
@@ -626,7 +642,9 @@ def cmd_dictionary(args) -> int:
     from multi_modal_regression_tpu.tools.parity import gather_tree_poses
 
     # gather all render poses from filenames (learnKmeansDictionary.py:25-37)
-    y = gather_tree_poses(args.data_root, "render")
+    y = gather_tree_poses(
+        args.data_root, args.db_type, classes=_classes_from_args(args)
+    )
     print(f"{len(y)} poses parsed", flush=True)
     if args.type == "kmeans":
         from multi_modal_regression_tpu.dictionary.kmeans import fit_kmeans
@@ -888,10 +906,7 @@ def main(argv=None) -> int:
     p_pred.add_argument("--checkpoint", type=str, default="final")
     p_pred.add_argument("--det-path", type=str, default=None,
                         help="detector crop set (dbinfo.mat + all/*.mat)")
-    p_pred.add_argument("--data-root", type=str, default=".")
-    p_pred.add_argument("--test-subdir", type=str, default="test")
-    p_pred.add_argument("--num-workers", type=int, default=8)
-    p_pred.add_argument("--dbinfo", type=str, default=None)
+    _add_common_data_args(p_pred, required_data_root=False)
     _add_distributed_args(p_pred)
     _add_config_overrides(p_pred)
     p_pred.set_defaults(fn=cmd_predict)
@@ -903,6 +918,14 @@ def main(argv=None) -> int:
     p_dict.add_argument("--size", type=int, default=200)
     p_dict.add_argument("--out", type=str, required=True)
     p_dict.add_argument("--seed", type=int, default=0)
+    p_dict.add_argument("--dbinfo", type=str, default=None,
+                        help="dbinfo.mat naming the classes (default: the "
+                             "12 PASCAL3D+ classes)")
+    p_dict.add_argument("--db-type", choices=("render", "real"),
+                        default="render",
+                        help="tilt-sign convention of the tree "
+                             "(dataGenerators.py:57-62; the reference "
+                             "learns from RenderForCNN trees)")
     p_dict.add_argument("--compile-cache", type=str, default=None,
                         help="persistent XLA compile-cache dir "
                              "('off' to disable)")

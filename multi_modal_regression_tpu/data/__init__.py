@@ -25,8 +25,11 @@ from multi_modal_regression_tpu.data.packed import (
     PackedBalancedLoader,
     PackedCrops,
     PackedFlatLoader,
+    PackedMatCropLoader,
+    PackedMatCrops,
     PackedTestLoader,
     pack_index,
+    pack_mat_index,
 )
 from multi_modal_regression_tpu.data.targets import (
     euler_to_pose,
@@ -58,8 +61,11 @@ __all__ = [
     "PackedBalancedLoader",
     "PackedCrops",
     "PackedFlatLoader",
+    "PackedMatCropLoader",
+    "PackedMatCrops",
     "PackedTestLoader",
     "pack_index",
+    "pack_mat_index",
     "euler_to_pose",
     "gmm_log_responsibilities",
     "gmm_soft_targets",

@@ -44,6 +44,7 @@ from multi_modal_regression_tpu.data import native
 from multi_modal_regression_tpu.data.loader import (
     BalancedLoader,
     FlatLoader,
+    MatCropLoader,
     TestLoader,
     _decode_image_pil,
     decode_image,
@@ -123,7 +124,9 @@ def _per_class_names(
 
 
 def _source_fingerprint(
-    db_path: str | Path, per_class: dict[str, list[str]]
+    db_path: str | Path,
+    per_class: dict[str, list[str]],
+    suffix: str = ".png",
 ) -> dict[str, str]:
     """Per-class sha256 over every file's (name, size, mtime_ns).
 
@@ -136,10 +139,46 @@ def _source_fingerprint(
     for cls, names in per_class.items():
         h = hashlib.sha256()
         for n in names:
-            st = os.stat(Path(db_path) / cls / f"{n}.png")
+            fname = n if n.endswith(suffix) else f"{n}{suffix}"
+            st = os.stat(Path(db_path) / cls / fname)
             h.update(f"{n}:{st.st_size}:{st.st_mtime_ns};".encode())
         fp[cls] = h.hexdigest()
     return fp
+
+
+def _atomic_install(tmp: Path, cache_dir: Path, existing):
+    """Install a fully built tmp dir as `cache_dir` with one rename.
+
+    Adopt-don't-destroy: if a MATCHING cache appeared while we built
+    (`existing()` returns a handle), it is adopted and tmp discarded —
+    never tear down a cache concurrent readers may be training from. A
+    genuinely stale cache is moved aside before deletion (open memmaps
+    stay valid on the unlinked inodes). Returns the adopted handle, or
+    None when tmp was installed (caller constructs the fresh handle)."""
+    cache_dir.parent.mkdir(parents=True, exist_ok=True)
+    for _ in range(2):
+        pack = existing()
+        if pack is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return pack
+        if cache_dir.exists():
+            stale = cache_dir.parent / f".{cache_dir.name}.stale-{os.getpid()}"
+            try:
+                os.rename(cache_dir, stale)
+            except OSError:
+                pass  # another packer already moved it
+            else:
+                shutil.rmtree(stale, ignore_errors=True)
+        try:
+            os.rename(tmp, cache_dir)
+            return None
+        except OSError:
+            continue  # lost the install race; re-check the winner
+    shutil.rmtree(tmp, ignore_errors=True)
+    raise RuntimeError(
+        f"concurrent pack at {cache_dir} does not match this index; "
+        f"remove the directory and re-run"
+    )
 
 
 def _sweep_orphans(cache_dir: Path, max_age_s: float = 600.0) -> None:
@@ -233,35 +272,137 @@ def pack_index(
     }
     with open(tmp / "meta.json", "w") as f:
         json.dump(meta, f)
-    cache_dir.parent.mkdir(parents=True, exist_ok=True)
-    for _ in range(2):
-        # a concurrent packer may have installed a MATCHING cache while
-        # we decoded: adopt it — never tear down a cache readers may
-        # already be training from (round-4 review)
-        pack = _existing()
-        if pack is not None:
-            shutil.rmtree(tmp, ignore_errors=True)
-            return pack
-        if cache_dir.exists():
-            # genuinely stale: move aside before deleting (open memmaps
-            # in a concurrent reader stay valid on the unlinked inodes)
-            stale = cache_dir.parent / f".{cache_dir.name}.stale-{os.getpid()}"
-            try:
-                os.rename(cache_dir, stale)
-            except OSError:
-                pass  # another packer already moved it
-            else:
-                shutil.rmtree(stale, ignore_errors=True)
-        try:
-            os.rename(tmp, cache_dir)
-            return PackedCrops(cache_dir)
-        except OSError:
-            continue  # lost the install race; re-check the winner
-    shutil.rmtree(tmp, ignore_errors=True)
-    raise RuntimeError(
-        f"concurrent pack at {cache_dir} does not match this index; "
-        f"remove the directory and re-run"
+    adopted = _atomic_install(tmp, cache_dir, _existing)
+    return adopted if adopted is not None else PackedCrops(cache_dir)
+
+
+class PackedMatCrops:
+    """Handle over a packed .mat-crop cache: one crops memmap + ydata/
+    labels arrays + per-file row ranges (host striding runs over FILES,
+    exactly like MatCropLoader)."""
+
+    def __init__(self, cache_dir: str | Path):
+        self.cache_dir = Path(cache_dir)
+        with open(self.cache_dir / "meta.json") as f:
+            self.meta = json.load(f)
+        self.image_size = int(self.meta["image_size"])
+        self.file_rows = np.asarray(self.meta["file_rows"], np.int64)
+        self.ydata = np.load(self.cache_dir / "ydata.npy")
+        self._crops: np.ndarray | None = None
+
+    @property
+    def crops(self) -> np.ndarray:
+        if self._crops is None:
+            self._crops = np.load(
+                self.cache_dir / "crops.npy", mmap_mode="r"
+            )
+        return self._crops
+
+    def matches(
+        self,
+        db_path: str,
+        split: str,
+        per_class: dict[str, list[str]],
+        image_size: int,
+        fingerprint: dict[str, str],
+    ) -> bool:
+        return (
+            self.image_size == int(image_size)
+            and self.meta.get("db_path") == str(db_path)
+            and self.meta.get("split") == split
+            and self.meta.get("classes") == per_class
+            and self.meta.get("fingerprint") == fingerprint
+        )
+
+
+def pack_mat_index(
+    index,  # MatCropIndex
+    cache_dir: str | Path,
+    image_size: int,
+    num_workers: int = 8,
+) -> PackedMatCrops:
+    """Pack a MatCropIndex's per-image .mat crop sets (the reference's
+    Pascal3dAll eval protocol, dataGenerators.py:80-124) into one uint8
+    memmap + ydata/labels arrays, resized once to `image_size` with the
+    same PIL calls MatCropLoader makes per epoch. The snapshot-ensemble
+    protocol re-reads the whole test set once PER SNAPSHOT (5-9 passes);
+    the pack pays the loadmat+resize cost once. Same idempotence/
+    staleness/atomicity guarantees as pack_index."""
+    import scipy.io as spio
+
+    cache_dir = Path(cache_dir)
+    per_class: dict[str, list[str]] = {c: [] for c in index.classes}
+    for n, l in zip(index.image_names, index.labels):
+        per_class[index.classes[l]].append(str(n))
+    fingerprint = _source_fingerprint(
+        index.db_path, per_class, suffix=".mat"
     )
+
+    def _existing() -> PackedMatCrops | None:
+        try:
+            pack = PackedMatCrops(cache_dir)
+        except (FileNotFoundError, json.JSONDecodeError, KeyError, OSError):
+            return None
+        if pack.matches(
+            index.db_path, index.split, per_class, image_size, fingerprint
+        ):
+            return pack
+        return None
+
+    pack = _existing()
+    if pack is not None:
+        return pack
+    _sweep_orphans(cache_dir)
+    tmp = cache_dir.parent / f".{cache_dir.name}.tmp-{os.getpid()}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+
+    def _load_file(i: int):
+        m = spio.loadmat(
+            index.path(i), verify_compressed_data_integrity=False
+        )
+        x = np.asarray(m["xdata"], np.uint8)
+        if x.shape[1:3] != (image_size, image_size):
+            from PIL import Image
+
+            x = np.stack([
+                np.asarray(
+                    Image.fromarray(c).resize(
+                        (image_size, image_size), Image.BILINEAR
+                    ),
+                    np.uint8,
+                )
+                for c in x
+            ])
+        return x, np.asarray(m["ydata"], np.float32).reshape(len(x), -1)
+
+    xs, ys, rows = [], [], []
+    start = 0
+    with cf.ThreadPoolExecutor(num_workers) as pool:
+        for x, y in pool.map(_load_file, range(len(index))):
+            xs.append(x)
+            ys.append(y)
+            rows.append([start, len(x)])
+            start += len(x)
+    crops = np.concatenate(xs) if xs else np.zeros(
+        (0, image_size, image_size, 3), np.uint8
+    )
+    ydata = np.concatenate(ys) if ys else np.zeros((0, 3), np.float32)
+    np.save(tmp / "crops.npy", crops)
+    np.save(tmp / "ydata.npy", ydata)
+    meta = {
+        "db_path": str(index.db_path),
+        "split": index.split,
+        "image_size": int(image_size),
+        "classes": per_class,
+        "fingerprint": fingerprint,
+        "file_rows": rows,
+    }
+    with open(tmp / "meta.json", "w") as f:
+        json.dump(meta, f)
+    adopted = _atomic_install(tmp, cache_dir, _existing)
+    return adopted if adopted is not None else PackedMatCrops(cache_dir)
 
 
 class PackedBalancedLoader(BalancedLoader):
@@ -341,6 +482,33 @@ class PackedFlatLoader(FlatLoader):
                 ).astype(np.float32),
                 "label": self.index.labels[ids].astype(np.int32),
             }
+
+
+class PackedMatCropLoader(MatCropLoader):
+    """MatCropLoader with crops from a PackedMatCrops cache.
+
+    The file-level iteration order, host striding, buffering, and
+    padded-batch semantics are inherited unchanged — only `_load` swaps
+    the per-file loadmat+resize for memmap row slices."""
+
+    def __init__(self, index, pack: PackedMatCrops, **kwargs):
+        kwargs.setdefault("num_workers", 1)  # slices are memcpy-bound
+        kwargs.setdefault("image_size", pack.image_size)
+        super().__init__(index, **kwargs)
+        if self.image_size not in (None, pack.image_size):
+            raise ValueError(
+                f"pack is {pack.image_size}px, loader wants {self.image_size}px"
+            )
+        self.image_size = pack.image_size
+        self.pack = pack
+
+    def _load(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        s, n = self.pack.file_rows[i]
+        return (
+            np.asarray(self.pack.crops[s : s + n]),
+            np.asarray(self.pack.ydata[s : s + n]),
+            np.full(n, self.index.labels[i], np.int32),
+        )
 
 
 class PackedTestLoader(TestLoader):

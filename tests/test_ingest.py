@@ -439,6 +439,38 @@ def test_mat_crop_loader_resizes_to_image_size(release):
     assert b224["xdata"].shape[1:] == (224, 224, 3)
 
 
+def test_packed_mat_crop_loader_matches_plain(release, tmp_path):
+    """PackedMatCropLoader == MatCropLoader bit-for-bit (same file order,
+    buffering, padding; crops from the memmap instead of per-epoch
+    loadmat+resize), and the pack is reused on a second call."""
+    from multi_modal_regression_tpu.data import (
+        PackedMatCropLoader,
+        pack_mat_index,
+    )
+
+    _, _, out, _ = release
+    midx = MatCropIndex(str(out / "original"), "test", classes=CLASSES)
+    cache = tmp_path / "matpack"
+    pack = pack_mat_index(midx, cache, image_size=64, num_workers=2)
+    plain = list(MatCropLoader(midx, batch_size=3, image_size=64,
+                               num_workers=2))
+    packed = list(PackedMatCropLoader(midx, pack, batch_size=3))
+    assert len(packed) == len(plain) and len(packed) > 0
+    for bp, bq in zip(packed, plain, strict=True):
+        assert set(bp) == set(bq)
+        for k in bp:
+            np.testing.assert_array_equal(bp[k], bq[k], err_msg=k)
+    mtimes = {p.name: p.stat().st_mtime_ns for p in cache.glob("*.npy")}
+    pack_mat_index(midx, cache, image_size=64, num_workers=2)  # reuses
+    assert mtimes == {
+        p.name: p.stat().st_mtime_ns for p in cache.glob("*.npy")
+    }
+    # a different size is a different cache state -> repack
+    pack224 = pack_mat_index(midx, cache, image_size=224, num_workers=2)
+    assert pack224.image_size == 224
+    assert pack224.crops.shape[1:] == (224, 224, 3)
+
+
 def test_gather_tree_poses_tilt_sign_convention(tmp_path):
     """Dictionary poses must carry the db tilt sign the loaders train with
     (real +ct, render -ct — dataGenerators.py:57-62)."""
