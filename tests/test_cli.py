@@ -196,6 +196,29 @@ def test_prepare_data_pascal3d_then_train_mat_protocol(
     ])
     assert rc == 0
     assert (tmp_path / "p3d_run" / "checkpoints" / "final").exists()
+    # predict on the mat protocol with and without the packed cache:
+    # bit-equal batches -> identical result arrays (round-4.5: predict
+    # gained the mat protocol + packed cache via _make_test_loader)
+    import numpy as np
+
+    base = [
+        "predict", "--preset", "geodesic_bd",
+        "--data-root", str(out),
+        "--dbinfo", str(out / "dbinfo.mat"),
+        "--test-protocol", "mat", "--mat-split", "val",
+        "--dictionary", str(dictionary_file), "--dict-size", "4",
+        "--workdir", str(tmp_path / "p3d_run"),
+        *TINY_OVERRIDES,
+    ]
+    assert main([*base, "--save-str", "plainmat"]) == 0
+    assert main([
+        *base, "--save-str", "packedmat", "--packed-cache", "auto",
+    ]) == 0
+    a = np.load(tmp_path / "p3d_run" / "results_plainmat.npz")
+    b = np.load(tmp_path / "p3d_run" / "results_packedmat.npz")
+    assert set(a.files) == set(b.files)
+    for k in a.files:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
 def test_prepare_data_objectnet3d_cli(tmp_path):
