@@ -213,14 +213,31 @@ def _classes_from_args(args):
     return PASCAL3D_CLASSES
 
 
-def _packed_cache_dir(args, load_size: int, subdir: str) -> Path:
+def _packed_cache_dir(args, load_size: int, subdir: str,
+                      kind: str | None = None,
+                      split: str | None = None) -> Path:
+    from multi_modal_regression_tpu.data.packed import default_cache_dir
+
+    tree = (
+        Path(args.mat_root or (Path(args.data_root) / "original"))
+        if kind == "mat"
+        else Path(args.data_root) / subdir
+    )
     if args.packed_cache == "auto":
         # one shared layout definition (data/packed.py): caches live next
         # to their tree, reused by pack/train/evaluate/verify-parity
-        from multi_modal_regression_tpu.data.packed import default_cache_dir
+        return default_cache_dir(tree, load_size, kind=kind, split=split)
+    # explicit cache root: two datasets whose trees share a basename
+    # (every prep writes 'train'/'original') must not fight over one
+    # cache dir — key by a digest of the resolved tree path
+    import hashlib
 
-        return default_cache_dir(Path(args.data_root) / subdir, load_size)
-    return Path(args.packed_cache) / f"{subdir}_{load_size}px"
+    tag = hashlib.sha256(str(tree.resolve()).encode()).hexdigest()[:8]
+    tail = "_".join(
+        [tree.name, tag] + ([split] if split else []) + [f"{load_size}px"]
+        + ([kind] if kind else [])
+    )
+    return Path(args.packed_cache) / tail
 
 
 def _make_test_loader(args, cfg, classes, load_size,
@@ -242,16 +259,12 @@ def _make_test_loader(args, cfg, classes, load_size,
                 pack_mat_index,
             )
 
-            mat_tree = Path(mat_root)
-            base = (
-                mat_tree.parent / ".packed"
-                if args.packed_cache == "auto"
-                else Path(args.packed_cache)
-            )
             pack = pack_mat_index(
                 index,
-                base / f"{mat_tree.name}_{args.mat_split}_"
-                       f"{cfg.image_size}px_mat",
+                _packed_cache_dir(
+                    args, cfg.image_size, "original",
+                    kind="mat", split=args.mat_split,
+                ),
                 image_size=cfg.image_size, num_workers=args.num_workers,
             )
             return PackedMatCropLoader(

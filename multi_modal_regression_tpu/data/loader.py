@@ -57,6 +57,32 @@ def decode_image(path: str, size: int = 224) -> np.ndarray:
     return _decode_image_pil(path, size)
 
 
+def load_mat_crops(
+    path: str, image_size: int | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """One .mat crop set (Pascal3dAll protocol): (crops uint8, ydata f32).
+
+    The ONE definition of the loadmat + conditional PIL BILINEAR resize —
+    shared by MatCropLoader (per epoch) and pack_mat_index (once at pack
+    time) so their bit-parity contract cannot silently diverge."""
+    import scipy.io as spio
+
+    tmp = spio.loadmat(path, verify_compressed_data_integrity=False)
+    x = np.asarray(tmp["xdata"], np.uint8)
+    if image_size is not None and x.shape[1:3] != (image_size, image_size):
+        x = np.stack([
+            np.asarray(
+                Image.fromarray(c).resize(
+                    (image_size, image_size), Image.BILINEAR
+                ),
+                np.uint8,
+            )
+            for c in x
+        ])
+    y = np.asarray(tmp["ydata"], np.float32).reshape(len(x), -1)
+    return x, y
+
+
 def _decode_many(
     paths: list[str], size: int, pool: cf.Executor, num_workers: int
 ) -> np.ndarray:
@@ -310,22 +336,7 @@ class MatCropLoader:
         self.host_index = host_index
 
     def _load(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        import scipy.io as spio
-
-        tmp = spio.loadmat(
-            self.index.path(i), verify_compressed_data_integrity=False
-        )
-        x = np.asarray(tmp["xdata"], np.uint8)
-        size = self.image_size
-        if size is not None and x.shape[1:3] != (size, size):
-            x = np.stack([
-                np.asarray(
-                    Image.fromarray(c).resize((size, size), Image.BILINEAR),
-                    np.uint8,
-                )
-                for c in x
-            ])
-        y = np.asarray(tmp["ydata"], np.float32).reshape(len(x), -1)
+        x, y = load_mat_crops(self.index.path(i), self.image_size)
         lab = np.full(len(x), self.index.labels[i], np.int32)
         return x, y, lab
 

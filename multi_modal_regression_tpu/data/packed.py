@@ -34,6 +34,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from pathlib import Path
 from typing import Iterator, Sequence
 
@@ -95,13 +96,26 @@ class PackedCrops:
         )
 
 
-def default_cache_dir(tree: str | Path, image_size: int) -> Path:
+def default_cache_dir(
+    tree: str | Path,
+    image_size: int,
+    kind: str | None = None,
+    split: str | None = None,
+) -> Path:
     """The `--packed-cache auto` layout: caches live NEXT TO their tree
-    (`<parent>/.packed/<name>_<size>px`). One definition shared by
-    train/evaluate/predict, `cli pack`, and the verify-parity gate, so
-    the same tree never packs twice."""
+    (`<parent>/.packed/<name>[_<split>]_<size>px[_<kind>]`). One
+    definition shared by train/evaluate/predict, `cli pack`, and the
+    verify-parity gate — for BOTH the PNG packs (kind None) and the .mat
+    crop packs (kind 'mat', split 'val'/'test') — so the same tree never
+    packs twice."""
     tree = Path(tree)
-    return tree.parent / ".packed" / f"{tree.name}_{image_size}px"
+    parts = [tree.name]
+    if split:
+        parts.append(split)
+    parts.append(f"{image_size}px")
+    if kind:
+        parts.append(kind)
+    return tree.parent / ".packed" / "_".join(parts)
 
 
 def _per_class_names(
@@ -144,6 +158,18 @@ def _source_fingerprint(
             h.update(f"{n}:{st.st_size}:{st.st_mtime_ns};".encode())
         fp[cls] = h.hexdigest()
     return fp
+
+
+def _fresh_tmp_dir(cache_dir: Path) -> Path:
+    """A collision-proof private build dir: pid alone is NOT unique
+    across hosts on a shared filesystem (two --distributed processes on
+    different machines can share a pid; round-4 review), so a uuid
+    component guarantees no packer ever touches another's live build."""
+    tmp = cache_dir.parent / (
+        f".{cache_dir.name}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
+    tmp.mkdir(parents=True)
+    return tmp
 
 
 def _atomic_install(tmp: Path, cache_dir: Path, existing):
@@ -239,10 +265,7 @@ def pack_index(
     if pack is not None:
         return pack
     _sweep_orphans(cache_dir)
-    tmp = cache_dir.parent / f".{cache_dir.name}.tmp-{os.getpid()}"
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    tmp.mkdir(parents=True)
+    tmp = _fresh_tmp_dir(cache_dir)
     for cls, names in per_class.items():
         paths = [
             str(Path(index.db_path) / cls / f"{n}.png") for n in names
@@ -277,26 +300,32 @@ def pack_index(
 
 
 class PackedMatCrops:
-    """Handle over a packed .mat-crop cache: one crops memmap + ydata/
-    labels arrays + per-file row ranges (host striding runs over FILES,
-    exactly like MatCropLoader)."""
+    """Handle over a packed .mat-crop cache: per-class crop memmaps +
+    ydata arrays + per-file row ranges [class_idx, start, count] in the
+    index's file order (host striding runs over FILES, exactly like
+    MatCropLoader)."""
 
     def __init__(self, cache_dir: str | Path):
         self.cache_dir = Path(cache_dir)
         with open(self.cache_dir / "meta.json") as f:
             self.meta = json.load(f)
         self.image_size = int(self.meta["image_size"])
+        self.class_list = list(self.meta["classes"])
         self.file_rows = np.asarray(self.meta["file_rows"], np.int64)
-        self.ydata = np.load(self.cache_dir / "ydata.npy")
-        self._crops: np.ndarray | None = None
+        self._crops: dict[str, np.ndarray] = {}
+        self._ydata: dict[str, np.ndarray] = {}
 
-    @property
-    def crops(self) -> np.ndarray:
-        if self._crops is None:
-            self._crops = np.load(
-                self.cache_dir / "crops.npy", mmap_mode="r"
+    def crops(self, cls: str) -> np.ndarray:
+        if cls not in self._crops:
+            self._crops[cls] = np.load(
+                self.cache_dir / f"crops_{cls}.npy", mmap_mode="r"
             )
-        return self._crops
+        return self._crops[cls]
+
+    def ydata(self, cls: str) -> np.ndarray:
+        if cls not in self._ydata:
+            self._ydata[cls] = np.load(self.cache_dir / f"ydata_{cls}.npy")
+        return self._ydata[cls]
 
     def matches(
         self,
@@ -311,6 +340,9 @@ class PackedMatCrops:
             and self.meta.get("db_path") == str(db_path)
             and self.meta.get("split") == split
             and self.meta.get("classes") == per_class
+            # dict == is key-order-insensitive but file_rows' class
+            # indices are POSITIONAL: a different class order must repack
+            and list(self.meta.get("classes", {})) == list(per_class)
             and self.meta.get("fingerprint") == fingerprint
         )
 
@@ -322,13 +354,14 @@ def pack_mat_index(
     num_workers: int = 8,
 ) -> PackedMatCrops:
     """Pack a MatCropIndex's per-image .mat crop sets (the reference's
-    Pascal3dAll eval protocol, dataGenerators.py:80-124) into one uint8
-    memmap + ydata/labels arrays, resized once to `image_size` with the
-    same PIL calls MatCropLoader makes per epoch. The snapshot-ensemble
-    protocol re-reads the whole test set once PER SNAPSHOT (5-9 passes);
-    the pack pays the loadmat+resize cost once. Same idempotence/
-    staleness/atomicity guarantees as pack_index."""
-    import scipy.io as spio
+    Pascal3dAll eval protocol, dataGenerators.py:80-124) into per-class
+    uint8 memmaps + ydata arrays, resized once to `image_size` with the
+    SAME code MatCropLoader runs per epoch (loader.load_mat_crops). The
+    snapshot-ensemble protocol re-reads the whole test set once PER
+    SNAPSHOT (5-9 passes); the pack pays the loadmat+resize cost once.
+    Per-class streaming bounds peak RAM by the largest class, like
+    pack_index. Same idempotence/staleness/atomicity guarantees."""
+    from multi_modal_regression_tpu.data.loader import load_mat_crops
 
     cache_dir = Path(cache_dir)
     per_class: dict[str, list[str]] = {c: [] for c in index.classes}
@@ -353,44 +386,31 @@ def pack_mat_index(
     if pack is not None:
         return pack
     _sweep_orphans(cache_dir)
-    tmp = cache_dir.parent / f".{cache_dir.name}.tmp-{os.getpid()}"
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    tmp.mkdir(parents=True)
-
-    def _load_file(i: int):
-        m = spio.loadmat(
-            index.path(i), verify_compressed_data_integrity=False
-        )
-        x = np.asarray(m["xdata"], np.uint8)
-        if x.shape[1:3] != (image_size, image_size):
-            from PIL import Image
-
-            x = np.stack([
-                np.asarray(
-                    Image.fromarray(c).resize(
-                        (image_size, image_size), Image.BILINEAR
-                    ),
-                    np.uint8,
-                )
-                for c in x
-            ])
-        return x, np.asarray(m["ydata"], np.float32).reshape(len(x), -1)
-
-    xs, ys, rows = [], [], []
-    start = 0
+    tmp = _fresh_tmp_dir(cache_dir)
+    rows: list[list[int]] = [[0, 0, 0]] * len(index)
     with cf.ThreadPoolExecutor(num_workers) as pool:
-        for x, y in pool.map(_load_file, range(len(index))):
-            xs.append(x)
-            ys.append(y)
-            rows.append([start, len(x)])
-            start += len(x)
-    crops = np.concatenate(xs) if xs else np.zeros(
-        (0, image_size, image_size, 3), np.uint8
-    )
-    ydata = np.concatenate(ys) if ys else np.zeros((0, 3), np.float32)
-    np.save(tmp / "crops.npy", crops)
-    np.save(tmp / "ydata.npy", ydata)
+        for ci, cls in enumerate(index.classes):
+            positions = np.flatnonzero(np.asarray(index.labels) == ci)
+            loaded = list(pool.map(
+                lambda i: load_mat_crops(index.path(int(i)), image_size),
+                positions,
+            ))
+            start = 0
+            for pos, (x, _) in zip(positions, loaded):
+                rows[int(pos)] = [ci, start, len(x)]
+                start += len(x)
+            crops = (
+                np.concatenate([x for x, _ in loaded])
+                if loaded
+                else np.zeros((0, image_size, image_size, 3), np.uint8)
+            )
+            ydata = (
+                np.concatenate([y for _, y in loaded])
+                if loaded
+                else np.zeros((0, 3), np.float32)
+            )
+            np.save(tmp / f"crops_{cls}.npy", crops)
+            np.save(tmp / f"ydata_{cls}.npy", ydata)
     meta = {
         "db_path": str(index.db_path),
         "split": index.split,
@@ -503,10 +523,11 @@ class PackedMatCropLoader(MatCropLoader):
         self.pack = pack
 
     def _load(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        s, n = self.pack.file_rows[i]
+        ci, s, n = self.pack.file_rows[i]
+        cls = self.pack.class_list[ci]
         return (
-            np.asarray(self.pack.crops[s : s + n]),
-            np.asarray(self.pack.ydata[s : s + n]),
+            np.asarray(self.pack.crops(cls)[s : s + n]),
+            np.asarray(self.pack.ydata(cls)[s : s + n]),
             np.full(n, self.index.labels[i], np.int32),
         )
 

@@ -468,7 +468,7 @@ def test_packed_mat_crop_loader_matches_plain(release, tmp_path):
     # a different size is a different cache state -> repack
     pack224 = pack_mat_index(midx, cache, image_size=224, num_workers=2)
     assert pack224.image_size == 224
-    assert pack224.crops.shape[1:] == (224, 224, 3)
+    assert pack224.crops(CLASSES[0]).shape[1:] == (224, 224, 3)
 
 
 def test_gather_tree_poses_tilt_sign_convention(tmp_path):
