@@ -190,6 +190,68 @@ def main() -> None:
         dt, n = drain(pl, args.batches)
         row("balanced_packed", w, n / dt, pl.batch_images)
 
+    # -- the Pascal3dAll .mat crop protocol: plain vs packed ----------------
+    mat_root = build_mat_tree(
+        Path(args.root), args.image_size, args.images_per_class
+    )
+    from multi_modal_regression_tpu.data import MatCropIndex, pack_mat_index
+    from multi_modal_regression_tpu.data.loader import MatCropLoader
+    from multi_modal_regression_tpu.data.packed import PackedMatCropLoader
+
+    midx = MatCropIndex(str(mat_root), "test")
+    for w in args.workers:
+        ml = MatCropLoader(
+            midx, batch_size=96, image_size=args.image_size, num_workers=w
+        )
+        dt, n = drain(ml, args.batches)
+        row("mat_loadmat", w, n / dt, 96)
+    t0 = time.perf_counter()
+    mpack = pack_mat_index(
+        midx, mat_root.parent / (mat_root.name + "_packed"),
+        image_size=args.image_size, num_workers=8,
+    )
+    print(f"# pack_mat_index: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    for w in args.workers:
+        pml = PackedMatCropLoader(midx, mpack, batch_size=96, num_workers=w)
+        dt, n = drain(pml, args.batches)
+        row("mat_packed", w, n / dt, 96)
+
+
+def build_mat_tree(root: Path, image_size: int, images_per_class: int) -> Path:
+    """Synthetic Pascal3dAll layout: per-image .mat crop sets (3 crops
+    each) + <cls>_info.mat name lists, at the experiment resolution."""
+    import scipy.io as spio
+
+    tree = root / f"mat_{image_size}px_{images_per_class}pc"
+    marker = tree / ".complete"
+    if marker.exists():
+        return tree
+    rng = np.random.default_rng(0)
+    from multi_modal_regression_tpu.data.naming import PASCAL3D_CLASSES
+
+    for cls in PASCAL3D_CLASSES:
+        d = tree / cls
+        d.mkdir(parents=True, exist_ok=True)
+        names = [f"{cls}_{i:06d}" for i in range(images_per_class)]
+        for n in names:
+            spio.savemat(
+                d / f"{n}.mat",
+                {
+                    "xdata": rng.integers(
+                        0, 256, (3, image_size, image_size, 3), np.uint8
+                    ),
+                    "ydata": rng.standard_normal((3, 3)).astype(np.float32),
+                },
+                do_compression=True,
+            )
+        spio.savemat(
+            tree / f"{cls}_info.mat",
+            {"pascal_train": np.array(names[:1]), "pascal_val": np.array(names)},
+        )
+    marker.touch()
+    return tree
+
 
 if __name__ == "__main__":
     main()
