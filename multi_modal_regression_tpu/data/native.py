@@ -44,6 +44,25 @@ def _cache_dir() -> Path:
     )
 
 
+def _machine_tag() -> str:
+    """Key the cached .so by the host CPU's feature set: the library is
+    built with -march=native, and cache/home dirs in this environment
+    are observed shared across heterogeneous machines (XLA's own AOT
+    cache warns about exactly this) — a stale AVX-512 build on a host
+    without those units would SIGILL instead of rebuilding."""
+    try:
+        flags = next(
+            line
+            for line in Path("/proc/cpuinfo").read_text().splitlines()
+            if line.startswith(("flags", "Features"))
+        )
+        return hashlib.sha256(flags.encode()).hexdigest()[:8]
+    except (OSError, StopIteration):
+        import platform
+
+        return platform.machine() or "unknown"
+
+
 def _build(so_path: Path) -> bool:
     """Compile decode.cc -> so_path. Atomic install; safe under races."""
     so_path.parent.mkdir(parents=True, exist_ok=True)
@@ -83,7 +102,9 @@ def _load_locked() -> ctypes.CDLL | None:
     if os.environ.get("MMR_NATIVE", "1") == "0" or not _SRC.exists():
         return None
     src_hash = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
-    so_path = _cache_dir() / f"libmmrnative-{src_hash}-abi{_ABI}.so"
+    so_path = _cache_dir() / (
+        f"libmmrnative-{src_hash}-{_machine_tag()}-abi{_ABI}.so"
+    )
     if not so_path.exists() and not _build(so_path):
         return None
     try:
