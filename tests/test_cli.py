@@ -39,6 +39,35 @@ def dictionary_file(data_root, tmp_path_factory):
     return out
 
 
+def test_dictionary_dbinfo_and_db_type(pascal3d_release, tmp_path):
+    """`dictionary --dbinfo/--db-type`: non-default class sets learn from
+    their own trees (previously library-only — the CLI walked the 12
+    default classes and crashed on 3-class datasets), and the real-tree
+    tilt-sign convention flips ct (dataGenerators.py:57-62)."""
+    import numpy as np
+
+    _, _, out = pascal3d_release
+    d_real = tmp_path / "k_real.npz"
+    rc = main([
+        "dictionary", "--data-root", str(out / "train"),
+        "--size", "4", "--out", str(d_real),
+        "--dbinfo", str(out / "dbinfo.mat"), "--db-type", "real",
+    ])
+    assert rc == 0 and d_real.exists()
+    d_render = tmp_path / "k_render.npz"
+    rc = main([
+        "dictionary", "--data-root", str(out / "train"),
+        "--size", "4", "--out", str(d_render),
+        "--dbinfo", str(out / "dbinfo.mat"), "--db-type", "render",
+    ])
+    assert rc == 0
+    a = np.load(d_real)["cluster_centers"]
+    b = np.load(d_render)["cluster_centers"]
+    assert a.shape == b.shape == (4, 3)
+    # the tilt sign flips the gathered poses -> different dictionaries
+    assert not np.allclose(np.sort(a.ravel()), np.sort(b.ravel()))
+
+
 def test_dictionary_gmm(data_root, tmp_path):
     out = tmp_path / "gmm_3.npz"
     rc = main([
