@@ -65,6 +65,27 @@ def test_native_decode_byte_identical_to_pil(png_zoo, size):
         np.testing.assert_array_equal(nat, _decode_image_pil(str(p), size))
 
 
+def test_native_resample_fuzz_byte_exact(tmp_path):
+    """Fuzz the Pillow-resample reimplementation: 30 random
+    (height, width) -> size combinations, all byte-exact. The fixed-point
+    coefficient math (22-bit, Resample.c) must agree on every rounding
+    edge, not just the curated shapes above."""
+    rng = np.random.default_rng(123)
+    for trial in range(30):
+        h = int(rng.integers(4, 400))
+        w = int(rng.integers(4, 400))
+        size = int(rng.integers(8, 300))
+        arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        p = tmp_path / f"f{trial}.png"
+        Image.fromarray(arr).save(p)
+        nat = native.decode_image_native(str(p), size)
+        assert nat is not None
+        np.testing.assert_array_equal(
+            nat, _decode_image_pil(str(p), size),
+            err_msg=f"{h}x{w} -> {size}",
+        )
+
+
 def test_native_refuses_alpha_and_16bit_but_decode_image_matches(png_zoo):
     _, refused = png_zoo
     for p in refused:
