@@ -13,17 +13,22 @@ of 96 decodes.
 Layout: `<cache_dir>/<cls>.npy` with shape (n_images, S, S, 3) in the
 index's canonical name order, plus `meta.json` recording the source path,
 image size, per-class name lists (used both to map shuffled names to rows
-and to detect a stale cache) and a per-class stat fingerprint (file count,
-total bytes, newest mtime) so a re-generated tree with unchanged names is
-still detected as stale. Caches are built in a private tmp directory and
-installed with one atomic rename: concurrent packers (multi-host
-`--packed-cache auto`) never observe a partial cache, and a crash never
-leaves a torn `meta.json` behind.
+and to detect a stale cache) and a per-class digest over every file's
+(name, size, mtime_ns) so a re-generated tree — even with unchanged names
+— is detected as stale. Caches are built in a private uuid-named tmp
+directory and installed with one atomic adopt-don't-destroy rename:
+concurrent packers (multi-host `--packed-cache auto`) never observe a
+partial cache, never tear down a winner readers already mmap, and a crash
+never leaves a torn `meta.json` behind (orphans are age-swept).
 
-`PackedBalancedLoader` / `PackedTestLoader` reproduce the exact sampling
-semantics of their PNG counterparts (class-balanced modulo cycling with
-per-class reshuffles / flat padded test batches) — they subclass the PNG
-loaders and override only the pixel source.
+`PackedBalancedLoader` / `PackedFlatLoader` / `PackedTestLoader`
+reproduce the exact sampling semantics of their PNG counterparts
+(class-balanced modulo cycling with per-class reshuffles / shuffled flat
+batches / flat padded test batches) — they subclass the PNG loaders and
+override only the pixel source. `pack_mat_index`/`PackedMatCropLoader`
+do the same for the Pascal3dAll .mat crop protocol (per-class crop
+memmaps + per-file row ranges), so every input protocol has a packed
+fast path.
 """
 
 from __future__ import annotations
