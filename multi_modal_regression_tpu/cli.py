@@ -266,6 +266,7 @@ def _make_test_loader(args, cfg, classes, load_size,
                     kind="mat", split=args.mat_split,
                 ),
                 image_size=cfg.image_size, num_workers=args.num_workers,
+                wait_for_builder=host_index > 0,
             )
             return PackedMatCropLoader(
                 index, pack, batch_size=cfg.eval_batch, **hosts
@@ -283,6 +284,7 @@ def _make_test_loader(args, cfg, classes, load_size,
         pack = pack_index(
             index, _packed_cache_dir(args, load_size, args.test_subdir),
             image_size=load_size, num_workers=args.num_workers,
+            wait_for_builder=host_index > 0,
         )
         return PackedTestLoader(
             index, pack, batch_size=cfg.eval_batch, **hosts
@@ -349,6 +351,9 @@ def _make_loaders(args, cfg, host_count: int = 1, host_index: int = 0):
             pack = pack_index(
                 train_index, _packed_cache_dir(args, load_size, "train"),
                 image_size=load_size, num_workers=args.num_workers,
+                # non-primary hosts adopt the primary's build (one decode
+                # pass per cluster, not per process)
+                wait_for_builder=host_index > 0,
             )
             train = PackedFlatLoader(
                 train_index, pack, batch_size=cfg.items_per_batch * 12,
@@ -380,6 +385,7 @@ def _make_loaders(args, cfg, host_count: int = 1, host_index: int = 0):
             pack = pack_index(
                 index, _packed_cache_dir(args, load_size, subdir),
                 image_size=load_size, num_workers=args.num_workers,
+                wait_for_builder=host_index > 0,
             )
             return PackedBalancedLoader(
                 index, pack, items_per_batch=cfg.items_per_batch,

@@ -212,6 +212,43 @@ def _atomic_install(tmp: Path, cache_dir: Path, existing):
     )
 
 
+def _builder_active(cache_dir: Path, fresh_s: float = 60.0) -> bool:
+    """True if a sibling tmp build dir shows write activity within
+    `fresh_s` — some other process is packing this cache right now."""
+    parent = cache_dir.parent
+    if not parent.exists():
+        return False
+    now = time.time()
+    for d in parent.iterdir():
+        if not d.name.startswith(f".{cache_dir.name}.tmp-"):
+            continue
+        try:
+            newest = max(
+                (p.stat().st_mtime for p in d.rglob("*")),
+                default=d.stat().st_mtime,
+            )
+        except OSError:
+            continue
+        if now - newest < fresh_s:
+            return True
+    return False
+
+
+def _wait_for_pack(cache_dir: Path, existing, grace_s: float):
+    """Non-builder hosts' path: poll for a finished cache while a builder
+    is visibly active (or within the startup grace window in which one
+    should appear). Returns the adopted pack, or None when it's time to
+    build ourselves (no cache and nobody building)."""
+    deadline = time.time() + grace_s
+    while True:
+        pack = existing()
+        if pack is not None:
+            return pack
+        if time.time() >= deadline and not _builder_active(cache_dir):
+            return None
+        time.sleep(2.0)
+
+
 def _sweep_orphans(cache_dir: Path, max_age_s: float = 600.0) -> None:
     """Remove crashed packers' leftovers: sibling `.<name>.tmp-*` /
     `.<name>.stale-*` directories whose newest content mtime is older
@@ -243,6 +280,8 @@ def pack_index(
     cache_dir: str | Path,
     image_size: int = 224,
     num_workers: int = 8,
+    wait_for_builder: bool = False,
+    wait_grace_s: float = 120.0,
 ) -> PackedCrops:
     """Decode every image of `index` once into `<cache_dir>/<cls>.npy`.
 
@@ -252,6 +291,13 @@ def pack_index(
     a sibling tmp directory installed by one atomic rename, so concurrent
     packers on a shared filesystem are safe: the first rename wins and the
     loser adopts the winner's cache.
+
+    wait_for_builder: multi-host etiquette for non-primary processes —
+    poll for a finished cache while another process is visibly building
+    (fresh tmp-dir activity) or within `wait_grace_s` for one to appear,
+    and only fall back to building when nobody is (e.g. the primary
+    died). Turns the N-way duplicate decode of a distributed cold start
+    into one build + N-1 adoptions.
     """
     cache_dir = Path(cache_dir)
     per_class = _per_class_names(index)
@@ -269,6 +315,10 @@ def pack_index(
     pack = _existing()
     if pack is not None:
         return pack
+    if wait_for_builder:
+        pack = _wait_for_pack(cache_dir, _existing, wait_grace_s)
+        if pack is not None:
+            return pack
     _sweep_orphans(cache_dir)
     tmp = _fresh_tmp_dir(cache_dir)
     for cls, names in per_class.items():
@@ -357,6 +407,8 @@ def pack_mat_index(
     cache_dir: str | Path,
     image_size: int,
     num_workers: int = 8,
+    wait_for_builder: bool = False,
+    wait_grace_s: float = 120.0,
 ) -> PackedMatCrops:
     """Pack a MatCropIndex's per-image .mat crop sets (the reference's
     Pascal3dAll eval protocol, dataGenerators.py:80-124) into per-class
@@ -390,6 +442,10 @@ def pack_mat_index(
     pack = _existing()
     if pack is not None:
         return pack
+    if wait_for_builder:
+        pack = _wait_for_pack(cache_dir, _existing, wait_grace_s)
+        if pack is not None:
+            return pack
     _sweep_orphans(cache_dir)
     tmp = _fresh_tmp_dir(cache_dir)
     rows: list[list[int]] = [[0, 0, 0]] * len(index)

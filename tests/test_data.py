@@ -381,6 +381,57 @@ def test_pack_index_sweeps_dead_orphans_keeps_live_ones(tmp_path):
     assert live.exists()
 
 
+def test_pack_index_wait_for_builder(tmp_path):
+    """wait_for_builder (multi-host etiquette): a non-primary host polls
+    while another process's build is visibly active and ADOPTS the
+    installed cache instead of duplicating the decode; with nobody
+    building and the grace elapsed it builds itself."""
+    import os
+    import shutil
+    import threading
+    import time as _time
+
+    from multi_modal_regression_tpu.data import pack_index
+
+    tree = generate_pose_dataset(
+        tmp_path / "src", classes=CLASSES, images_per_class=3,
+        image_size=48, seed=17,
+    )
+    idx = ClassBalancedIndex(str(tree), "real", classes=CLASSES)
+    donor = tmp_path / "donor"
+    pack_index(idx, donor, image_size=32, num_workers=2)
+    mtimes = {p.name: p.stat().st_mtime_ns for p in donor.glob("*.npy")}
+    cache = tmp_path / "cache"
+    fake_builder = tmp_path / ".cache.tmp-999-deadbeef"
+    fake_builder.mkdir()
+    (fake_builder / "building.npy").write_bytes(b"\0")  # fresh activity
+    result = {}
+    t = threading.Thread(
+        target=lambda: result.update(
+            pack=pack_index(
+                idx, cache, image_size=32, num_workers=2,
+                wait_for_builder=True, wait_grace_s=60,
+            )
+        )
+    )
+    t.start()
+    _time.sleep(3)
+    assert t.is_alive()  # polling, not building
+    os.rename(donor, cache)  # the "primary" finishes its install
+    shutil.rmtree(fake_builder)
+    t.join(60)
+    assert not t.is_alive()
+    assert result["pack"].cache_dir == cache
+    # adopted, not rebuilt: the donor's files are untouched
+    assert mtimes == {p.name: p.stat().st_mtime_ns for p in cache.glob("*.npy")}
+    # nobody building + zero grace -> build ourselves immediately
+    pack2 = pack_index(
+        idx, tmp_path / "cache2", image_size=32, num_workers=2,
+        wait_for_builder=True, wait_grace_s=0,
+    )
+    assert pack2.image_size == 32
+
+
 def test_pack_index_concurrent_processes(tmp_path):
     """Two processes packing the same cache dir concurrently (the
     multi-host --packed-cache auto scenario on a shared filesystem) both
