@@ -237,7 +237,17 @@ def _packed_cache_dir(args, load_size: int, subdir: str,
         [tree.name, tag] + ([split] if split else []) + [f"{load_size}px"]
         + ([kind] if kind else [])
     )
-    return Path(args.packed_cache) / tail
+    new = Path(args.packed_cache) / tail
+    # migration: reuse a pre-digest-layout cache instead of silently
+    # re-decoding the whole tree (pack_index still staleness-checks it)
+    legacy = Path(args.packed_cache) / "_".join(
+        [subdir if kind != "mat" else tree.name]
+        + ([split] if split else []) + [f"{load_size}px"]
+        + ([kind] if kind else [])
+    )
+    if not (new / "meta.json").exists() and (legacy / "meta.json").exists():
+        return legacy
+    return new
 
 
 def _make_test_loader(args, cfg, classes, load_size,

@@ -57,6 +57,15 @@ from multi_modal_regression_tpu.data.loader import (
 )
 
 
+# on-disk layout versions, recorded in meta.json: adopting a cache written
+# by an incompatible layout must REPACK, not crash mid-epoch. PNG caches
+# default to 1 when absent (the layout never changed); mat caches REQUIRE
+# the marker (the pre-format layout used one global crops.npy and 2-wide
+# file_rows — round-4 review).
+_PNG_FORMAT = 1
+_MAT_FORMAT = 2
+
+
 class PackedCrops:
     """Handle over a packed cache directory: per-class memmaps + name->row."""
 
@@ -94,7 +103,8 @@ class PackedCrops:
         stat digest (any per-file size/mtime/name change — a re-crop, a
         re-prep, an added or removed image — changes the digest)."""
         return (
-            self.image_size == int(image_size)
+            self.meta.get("format", _PNG_FORMAT) == _PNG_FORMAT
+            and self.image_size == int(image_size)
             and self.meta.get("db_path") == str(db_path)
             and self.meta.get("classes") == per_class
             and self.meta.get("fingerprint") == fingerprint
@@ -238,15 +248,67 @@ def _wait_for_pack(cache_dir: Path, existing, grace_s: float):
     """Non-builder hosts' path: poll for a finished cache while a builder
     is visibly active (or within the startup grace window in which one
     should appear). Returns the adopted pack, or None when it's time to
-    build ourselves (no cache and nobody building)."""
+    build ourselves (no cache and nobody building).
+
+    The (potentially expensive) `existing()` validation only re-runs when
+    meta.json's mtime changes — a stale cache next to a long rebuild is
+    not re-parsed every poll."""
     deadline = time.time() + grace_s
+    meta = cache_dir / "meta.json"
+    last_mtime = -1
     while True:
-        pack = existing()
-        if pack is not None:
-            return pack
+        try:
+            mtime = meta.stat().st_mtime_ns
+        except OSError:
+            mtime = -2
+        if mtime != last_mtime:
+            last_mtime = mtime
+            pack = existing()
+            if pack is not None:
+                return pack
         if time.time() >= deadline and not _builder_active(cache_dir):
             return None
         time.sleep(2.0)
+
+
+class _Heartbeat:
+    """Touches `<tmp>/.alive` every 15 s while a pack builds.
+
+    np.save only lands once per CLASS, so a long class decode would look
+    dead to _builder_active/_sweep_orphans (round-4 review); the
+    heartbeat keeps the tmp dir visibly fresh for waiters and sweepers
+    for the whole build."""
+
+    def __init__(self, tmp: Path):
+        self._path = tmp / ".alive"
+        self._stop = None
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+        stop = self._stop
+        path = self._path
+
+        def beat():
+            while not stop.wait(15.0):
+                try:
+                    path.touch()
+                except OSError:
+                    return  # tmp gone (installed or swept): stop quietly
+
+        self._thread = threading.Thread(
+            target=beat, name="pack-heartbeat", daemon=True
+        )
+        path.touch()
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join()
+        self._path.unlink(missing_ok=True)
+        return False
 
 
 def _sweep_orphans(cache_dir: Path, max_age_s: float = 600.0) -> None:
@@ -321,35 +383,39 @@ def pack_index(
             return pack
     _sweep_orphans(cache_dir)
     tmp = _fresh_tmp_dir(cache_dir)
-    for cls, names in per_class.items():
-        paths = [
-            str(Path(index.db_path) / cls / f"{n}.png") for n in names
-        ]
-        res = native.decode_batch_native(paths, image_size, num_workers)
-        if res is not None:
-            # one GIL-free C++ call decodes the whole class in
-            # parallel; refused files (alpha/16-bit) fill in via PIL
-            out, ok = res
-            for i in np.flatnonzero(~ok):
-                out[i] = _decode_image_pil(paths[i], image_size)
-        else:  # no native library: PIL decode on a thread pool
-            out = np.empty(
-                (len(names), image_size, image_size, 3), np.uint8
-            )
-            with cf.ThreadPoolExecutor(num_workers) as pool:
-                for i, img in enumerate(
-                    pool.map(lambda p: decode_image(p, image_size), paths)
-                ):
-                    out[i] = img
-        np.save(tmp / f"{cls}.npy", out)
-    meta = {
-        "db_path": str(index.db_path),
-        "image_size": int(image_size),
-        "classes": per_class,
-        "fingerprint": fingerprint,
-    }
-    with open(tmp / "meta.json", "w") as f:
-        json.dump(meta, f)
+    with _Heartbeat(tmp):
+        for cls, names in per_class.items():
+            paths = [
+                str(Path(index.db_path) / cls / f"{n}.png") for n in names
+            ]
+            res = native.decode_batch_native(paths, image_size, num_workers)
+            if res is not None:
+                # one GIL-free C++ call decodes the whole class in
+                # parallel; refused files (alpha/16-bit) fill in via PIL
+                out, ok = res
+                for i in np.flatnonzero(~ok):
+                    out[i] = _decode_image_pil(paths[i], image_size)
+            else:  # no native library: PIL decode on a thread pool
+                out = np.empty(
+                    (len(names), image_size, image_size, 3), np.uint8
+                )
+                with cf.ThreadPoolExecutor(num_workers) as pool:
+                    for i, img in enumerate(
+                        pool.map(
+                            lambda p: decode_image(p, image_size), paths
+                        )
+                    ):
+                        out[i] = img
+            np.save(tmp / f"{cls}.npy", out)
+        meta = {
+            "format": _PNG_FORMAT,
+            "db_path": str(index.db_path),
+            "image_size": int(image_size),
+            "classes": per_class,
+            "fingerprint": fingerprint,
+        }
+        with open(tmp / "meta.json", "w") as f:
+            json.dump(meta, f)
     adopted = _atomic_install(tmp, cache_dir, _existing)
     return adopted if adopted is not None else PackedCrops(cache_dir)
 
@@ -391,7 +457,10 @@ class PackedMatCrops:
         fingerprint: dict[str, str],
     ) -> bool:
         return (
-            self.image_size == int(image_size)
+            # pre-format caches (one global crops.npy, 2-wide file_rows)
+            # must repack, not crash on the 3-wide unpack mid-epoch
+            self.meta.get("format") == _MAT_FORMAT
+            and self.image_size == int(image_size)
             and self.meta.get("db_path") == str(db_path)
             and self.meta.get("split") == split
             and self.meta.get("classes") == per_class
@@ -449,7 +518,7 @@ def pack_mat_index(
     _sweep_orphans(cache_dir)
     tmp = _fresh_tmp_dir(cache_dir)
     rows: list[list[int]] = [[0, 0, 0]] * len(index)
-    with cf.ThreadPoolExecutor(num_workers) as pool:
+    with _Heartbeat(tmp), cf.ThreadPoolExecutor(num_workers) as pool:
         for ci, cls in enumerate(index.classes):
             positions = np.flatnonzero(np.asarray(index.labels) == ci)
             loaded = list(pool.map(
@@ -472,16 +541,17 @@ def pack_mat_index(
             )
             np.save(tmp / f"crops_{cls}.npy", crops)
             np.save(tmp / f"ydata_{cls}.npy", ydata)
-    meta = {
-        "db_path": str(index.db_path),
-        "split": index.split,
-        "image_size": int(image_size),
-        "classes": per_class,
-        "fingerprint": fingerprint,
-        "file_rows": rows,
-    }
-    with open(tmp / "meta.json", "w") as f:
-        json.dump(meta, f)
+        meta = {
+            "format": _MAT_FORMAT,
+            "db_path": str(index.db_path),
+            "split": index.split,
+            "image_size": int(image_size),
+            "classes": per_class,
+            "fingerprint": fingerprint,
+            "file_rows": rows,
+        }
+        with open(tmp / "meta.json", "w") as f:
+            json.dump(meta, f)
     adopted = _atomic_install(tmp, cache_dir, _existing)
     return adopted if adopted is not None else PackedMatCrops(cache_dir)
 

@@ -469,6 +469,18 @@ def test_packed_mat_crop_loader_matches_plain(release, tmp_path):
     pack224 = pack_mat_index(midx, cache, image_size=224, num_workers=2)
     assert pack224.image_size == 224
     assert pack224.crops(CLASSES[0]).shape[1:] == (224, 224, 3)
+    # a pre-format-marker cache (old layout: global crops.npy, 2-wide
+    # file_rows) must REPACK on adoption, not crash mid-epoch
+    import json as _json
+
+    meta = _json.loads((cache / "meta.json").read_text())
+    meta.pop("format")
+    meta["file_rows"] = [r[1:] for r in meta["file_rows"]]  # old 2-wide
+    (cache / "meta.json").write_text(_json.dumps(meta))
+    pack_v2 = pack_mat_index(midx, cache, image_size=224, num_workers=2)
+    assert pack_v2.meta["format"] == 2
+    b = next(iter(PackedMatCropLoader(midx, pack_v2, batch_size=3)))
+    assert b["xdata"].shape[1:] == (224, 224, 3)
 
 
 def test_gather_tree_poses_tilt_sign_convention(tmp_path):
