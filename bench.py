@@ -9,6 +9,18 @@ loss + backward + Adam + BN stats + self-balance) and synthetic input batches.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
+Outage resilience: the TPU tunnel (axon) can go down for hours, and when it
+does even `jax.devices()` hangs forever rather than erroring (CLAUDE.md).
+A hung benchmark leaves the driver's per-round record blank (BENCH_r04 was
+rc=1 for exactly this reason), so the parent process never touches jax
+itself: it probes the backend in a killable subprocess with a timeout,
+retries with backoff inside a bounded budget, runs the measurement in a
+second timeout-bounded subprocess, and on final failure emits ONE structured
+JSON line ({"error": "tpu_unavailable", ...}) instead of a traceback.
+Env knobs: MMR_BENCH_BUDGET_S (total retry window, default 900),
+MMR_BENCH_PROBE_TIMEOUT_S (default 120), MMR_BENCH_RUN_TIMEOUT_S
+(default 900 per attempt).
+
 The reference repo publishes no throughput numbers (BASELINE.md). The
 baseline divisor below is our documented ESTIMATE of the reference script's
 single-GPU throughput for this config — PyTorch-0.4-style loop with per-step
@@ -18,6 +30,9 @@ point across rounds rather than nothing.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -105,10 +120,105 @@ def main() -> None:
                 "fraction_of_bandwidth_floor": round(
                     images_per_sec / BANDWIDTH_FLOOR_IMG_PER_SEC, 3
                 ),
+                # honesty guard: if the tunnel silently fell back to a CPU
+                # backend, the record says so instead of passing off host
+                # numbers as chip numbers
+                "platform": jax.devices()[0].platform,
             }
         )
     )
 
 
+def _probe_backend(timeout_s: float) -> bool:
+    """True iff `jax.devices()` completes in a killable child within timeout.
+
+    The hang mode of a dead tunnel is an indefinite block inside backend
+    init, which no in-process timeout can interrupt — hence a subprocess.
+    """
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _run_child(timeout_s: float) -> "str | None":
+    """Run the measurement in a subprocess; return its JSON line or None."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
+        return None
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                json.loads(line)
+            except ValueError:
+                continue
+            return line
+    return None
+
+
+def supervise() -> int:
+    budget_s = float(os.environ.get("MMR_BENCH_BUDGET_S", "900"))
+    probe_timeout_s = float(os.environ.get("MMR_BENCH_PROBE_TIMEOUT_S", "120"))
+    run_timeout_s = float(os.environ.get("MMR_BENCH_RUN_TIMEOUT_S", "900"))
+    deadline = time.monotonic() + budget_s
+    attempts = 0
+    backoff_s = 30.0
+    while True:
+        attempts += 1
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        if _probe_backend(min(probe_timeout_s, max(remaining, 10.0))):
+            # Probe is cheap; the real run gets its full window even if that
+            # overshoots the retry budget — the budget bounds *retries*, not
+            # one in-flight measurement.
+            line = _run_child(run_timeout_s)
+            if line is not None:
+                print(line)
+                return 0
+            sys.stderr.write(f"bench attempt {attempts}: run failed; retrying\n")
+        else:
+            sys.stderr.write(
+                f"bench attempt {attempts}: backend probe timed out; retrying\n"
+            )
+        if deadline - time.monotonic() <= 0:
+            break
+        time.sleep(min(backoff_s, max(deadline - time.monotonic(), 0)))
+        backoff_s = min(backoff_s * 2, 240.0)
+    print(
+        json.dumps(
+            {
+                "error": "tpu_unavailable",
+                "metric": "geodesic_bd train throughput (ResNet50, batch 96, 224px)",
+                "value": None,
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "attempts": attempts,
+                "budget_s": budget_s,
+            }
+        )
+    )
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main()
+    else:
+        sys.exit(supervise())

@@ -87,6 +87,7 @@ class SnapshotEnsembleEvaluator:
         trainer: Trainer,
         cycle_len: int | None = None,
         workdir: str | Path | None = None,
+        record_history: bool = False,
     ):
         self.trainer = trainer
         cfg = trainer.config
@@ -95,6 +96,12 @@ class SnapshotEnsembleEvaluator:
         if self.workdir:
             self.workdir.mkdir(parents=True, exist_ok=True)
         self.snapshots: list[SnapshotResult] = []
+        # record_history keeps every fine-tune step's metric dict (the
+        # reference logs train_loss/alpha per step during evaluation too,
+        # evaluateGeodesicBDModel.py:135-137). Opt-in: each record is a
+        # host fetch, which through the TPU tunnel is a true sync per step.
+        self.record_history = record_history
+        self.history: list[dict] = []
         self._cfg = cfg
 
     def run(
@@ -143,7 +150,11 @@ class SnapshotEnsembleEvaluator:
             if budget is not None and local_step >= budget:
                 break
             for batch in _interleave(real_loader, render_loader):
-                state, _ = step_fn(state, self.trainer.shard_batch(batch))
+                state, metrics = step_fn(state, self.trainer.shard_batch(batch))
+                if self.record_history:
+                    self.history.append(
+                        {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    )
                 if is_snapshot_step(local_step, c):
                     self._take_snapshot(state, test_loader)
                 local_step += 1
