@@ -104,15 +104,19 @@ def _decode_many(
 def normalize_images(x_uint8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """On-device (x/255 - mean)/std. Input (..., H, W, 3) uint8.
 
-    The arithmetic stays f32 (XLA fuses the whole elementwise chain, so
-    intermediates cost nothing); only the OUTPUT array takes `dtype` — the
-    buffer dtype is what decides the stem conv's read width. The previous
-    form computed `x.astype(dtype) / np.float32(...)`, which numpy-scalar
-    promotion silently widened back to f32 for bf16 requests.
+    The arithmetic stays f32 for f32/bf16 requests (XLA fuses the whole
+    elementwise chain, so intermediates cost nothing); only the OUTPUT
+    array takes `dtype` — the buffer dtype is what decides the stem conv's
+    read width. The previous form computed `x.astype(dtype) /
+    np.float32(...)`, which numpy-scalar promotion silently widened back to
+    f32 for bf16 requests. A float64 request (the x64 dynamics-parity
+    harness) computes in f64 so the torch side can reproduce the exact
+    arithmetic.
     """
-    x = x_uint8.astype(jnp.float32) / np.float32(255.0)
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    compute = jnp.promote_types(jnp.float32, dtype)
+    x = x_uint8.astype(compute) / np.asarray(255.0, compute)
+    mean = jnp.asarray(IMAGENET_MEAN, compute)
+    std = jnp.asarray(IMAGENET_STD, compute)
     return ((x - mean) / std).astype(dtype)
 
 

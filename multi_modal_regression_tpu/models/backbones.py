@@ -383,8 +383,11 @@ class ResNetBackbone(nn.Module):
         if not self.pool:
             return x
         # Global average pool (== AvgPool2d(full extent) for 224 inputs,
-        # featureModels.py:35) -> (B, C). Accumulate the mean in float32.
-        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        # featureModels.py:35) -> (B, C). Accumulate the mean in at-least-
+        # float32 (promote keeps f64 for the x64 parity harness).
+        x = jnp.mean(
+            x.astype(jnp.promote_types(jnp.float32, x.dtype)), axis=(1, 2)
+        )
         return checkpoint_name(x, "resnet_features")
 
 
@@ -418,7 +421,9 @@ class ResNetStage(nn.Module):
                 name=f"layer{self.stage}_{block}", **kwargs,
             )(x, train)
         if self.pool:
-            x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+            x = jnp.mean(
+                x.astype(jnp.promote_types(jnp.float32, x.dtype)), axis=(1, 2)
+            )
         return x
 
 
@@ -463,7 +468,7 @@ class VGGBackbone(nn.Module):
             x = nn.Dropout(0.5, deterministic=not train)(x)
             x = nn.Dense(4096, dtype=self.dtype, name="fc7")(x)
             x = nn.relu(x)
-        return x.astype(jnp.float32)
+        return x.astype(jnp.promote_types(jnp.float32, x.dtype))
 
 
 def make_backbone(

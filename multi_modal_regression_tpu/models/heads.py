@@ -140,7 +140,12 @@ class MultiHeadMLP(nn.Module):
                 )(x)
                 x = nn.relu(x)
         x = jnp.transpose(x, (1, 0, 2))  # back to (B, H, out)
-        return apply_output_nonlinearity(x.astype(jnp.float32), self.output_nonlinearity)
+        # outputs feed the loss in at-least-f32 (promote keeps f64 for
+        # the x64 parity harness)
+        return apply_output_nonlinearity(
+            x.astype(jnp.promote_types(jnp.float32, x.dtype)),
+            self.output_nonlinearity,
+        )
 
 
 class SharedMLP(nn.Module):
@@ -177,7 +182,10 @@ class SharedMLP(nn.Module):
                     dtype=self.dtype, name=f"bn{li + 1}",
                 )(x)
                 x = nn.relu(x)
-        return apply_output_nonlinearity(x.astype(jnp.float32), self.output_nonlinearity)
+        return apply_output_nonlinearity(
+            x.astype(jnp.promote_types(jnp.float32, x.dtype)),
+            self.output_nonlinearity,
+        )
 
 
 def select_class(per_head: jax.Array, label: jax.Array) -> jax.Array:

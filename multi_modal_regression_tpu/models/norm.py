@@ -35,11 +35,15 @@ from flax.linen.normalization import (
 )
 
 
-def bessel_factor(count) -> jnp.ndarray:
-    """n/(n-1) as float32; 1.0 for n <= 1 (torch returns NaN there, but a
-    1-element batch never reaches BN training in any reference config)."""
-    n = jnp.asarray(count, jnp.float32)
-    return jnp.where(n > 1, n / jnp.maximum(n - 1.0, 1.0), 1.0)
+def bessel_factor(count) -> float:
+    """n/(n-1) as an exact python double; 1.0 for n <= 1 (torch returns NaN
+    there, but a 1-element batch never reaches BN training in any reference
+    config). `count` is always a static reduction count derived from shapes,
+    so this stays a compile-time scalar; as a weak-typed double it matches
+    torch's update (double scalar, one rounding at the multiply) in BOTH
+    f32 and the x64 parity harness's f64."""
+    n = int(count)
+    return n / (n - 1) if n > 1 else 1.0
 
 
 class TorchBatchNorm(BatchNorm):

@@ -118,7 +118,9 @@ class SnapshotEnsembleEvaluator:
         tx = cyclical_sgd(c, cfg.eval_alpha1, cfg.eval_alpha2)
         import jax.numpy as jnp
 
-        cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        cdtype = {
+            "bfloat16": jnp.bfloat16, "float64": jnp.float64
+        }.get(cfg.compute_dtype)
         step_fn = jax.jit(
             make_train_step(
                 self.trainer.apply_fn, self.trainer.problem, tx,

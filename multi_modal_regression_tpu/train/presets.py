@@ -157,7 +157,11 @@ def build_model(cfg: ExperimentConfig):
     from multi_modal_regression_tpu.ops.fused_conv_bn import resolve_impl
     from multi_modal_regression_tpu.ops.stem_pool import resolve_stem_impl
 
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    # float64 exists for the x64 dynamics-parity harness
+    # (tests/test_torch_dynamics.py) — requires jax_enable_x64
+    dtype = {
+        "bfloat16": jnp.bfloat16, "float64": jnp.float64
+    }.get(cfg.compute_dtype, jnp.float32)
     common = dict(
         num_classes=cfg.num_classes, N0=cfg.N0, N1=cfg.N1, N2=cfg.N2,
         feature_network=cfg.feature_network, feature_layer=cfg.feature_layer,

@@ -83,9 +83,10 @@ class Trainer:
         self.apply_fn = make_apply_fn(self.model, config)
 
         resize_to = config.image_size if config.device_resize_from else None
-        cdtype = (
-            jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
-        )
+        # float64: x64 dynamics-parity harness (tests/test_torch_dynamics)
+        cdtype = {
+            "bfloat16": jnp.bfloat16, "float64": jnp.float64
+        }.get(config.compute_dtype)
         self._train_steps = {
             phase: jax.jit(
                 make_train_step(

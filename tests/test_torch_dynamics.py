@@ -95,8 +95,9 @@ def ref_modules(request):
     try:
         import axisAngle
         import binDeltaModels
+        import helperFunctions
 
-        yield binDeltaModels, axisAngle
+        yield binDeltaModels, axisAngle, helperFunctions
     finally:
         nn.Module.cuda = module_cuda
         torch.Tensor.cuda = tensor_cuda
@@ -268,6 +269,10 @@ def run_jax_loop(cfg, centers, batches, init_variables):
         params=init_variables["params"],
         batch_stats=init_variables["batch_stats"],
     )
+    # re-init the optimizer state from the REPLACED params: Adam moments
+    # take the params' dtype (identical for f32; the x64 variant would
+    # otherwise accumulate its second moments in f32)
+    state = state.replace(opt_state=trainer.tx.init(state.params))
     state = jax.device_put(state, replicated_sharding(trainer.mesh))
     traj = []
     step = trainer.train_step_fn("warmup")
@@ -365,7 +370,7 @@ def _make_cfg(preset):
 
 
 def test_geodesic_bd_dynamics_match_reference(ref_modules, centers, batches):
-    binDeltaModels, axisAngle = ref_modules
+    binDeltaModels, axisAngle, _ = ref_modules
     _torch_seed_all(0)
     model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
     model.feature_model = TorchResNet18Features()
@@ -386,7 +391,7 @@ def test_geodesic_bd_dynamics_match_reference(ref_modules, centers, batches):
 def test_geodesic_bd_multires_dynamics_match_reference(
     ref_modules, centers, batches
 ):
-    binDeltaModels, axisAngle = ref_modules
+    binDeltaModels, axisAngle, _ = ref_modules
     _torch_seed_all(1)
     model = binDeltaModels.OneDeltaPerBinModel(
         "none", C, K, N0, N1, N2, N3, NDIM
@@ -403,3 +408,424 @@ def test_geodesic_bd_multires_dynamics_match_reference(
 
     final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
     assert_final_states_match(final_state, final_ref, cfg.init_lr)
+
+
+# ---------------------------------------------------------------------------
+# x64 strict window (round-5 ask #4): at f64 the chaos tail vanishes and the
+# WHOLE trajectory must hold a ~1e-6 bound
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def x64_mode():
+    # the reference forward builds its one-hot with torch.zeros
+    # (binDeltaModels.py:116) — default-f32 unless the default dtype is
+    # raised, which is exactly how the reference would run in double
+    jax.config.update("jax_enable_x64", True)
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        yield
+    finally:
+        torch.set_default_dtype(prev)
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_geodesic_bd_dynamics_x64_strict(ref_modules, centers, batches, x64_mode):
+    """The f32 tests justify their loose late-step tolerances with
+    float-accumulation growth + argmax-decode chaos. Here both frameworks
+    run in double (torch .double() model, compute_dtype='float64' under
+    jax_enable_x64): the shared f32-derived inputs widen bit-identically,
+    so the only remaining divergence is f64 reduction order and ulp-level
+    transcendental differences — amplified through all 10 Adam steps that
+    still leaves ~1e-9 relative. EVERY step must agree to 1e-6, with no
+    chaos carve-out: a subtle update-rule, s-protocol, or BN-semantics
+    error invisible inside f32 drift has nowhere to hide."""
+    import dataclasses
+
+    binDeltaModels, axisAngle, _ = ref_modules
+    _torch_seed_all(6)
+    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    model.feature_model = TorchResNet18Features()
+    model = model.double()
+
+    cfg = dataclasses.replace(_make_cfg("geodesic_bd"), compute_dtype="float64")
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert jax.tree.leaves(variables["params"])[0].dtype == np.float64
+
+    # rebuild the batches with the ENTIRE input path in f64: the torch-side
+    # tensors come from the same jax functions the compiled step runs
+    # in-graph (normalize_images / euler_to_pose / hard_bin_targets), so
+    # the frameworks' inputs agree to f64 codegen noise (~1e-16) instead of
+    # the f32-rounding (~1e-7) that dominated a widened-f32 pipeline
+    from multi_modal_regression_tpu.data.loader import normalize_images
+    from multi_modal_regression_tpu.data.targets import hard_bin_targets
+
+    C_f32 = jnp.asarray(centers, jnp.float32)  # the problem's stored dtype
+    batches64 = []
+    for b in batches:
+        jb = b["jax"]
+        euler64 = jb["euler"].astype(np.float64)
+        xn64 = np.asarray(
+            normalize_images(jnp.asarray(jb["xdata"]), dtype=jnp.float64)
+        )
+        y64 = np.asarray(euler_to_pose(jnp.asarray(euler64), "axis_angle"))
+        bins64, res64 = hard_bin_targets(jnp.asarray(y64), C_f32)
+        batches64.append(
+            dict(
+                jax={**jb, "euler": euler64},
+                x_t=torch.from_numpy(
+                    np.transpose(xn64, (0, 3, 1, 2))
+                ).contiguous(),
+                label_t=torch.from_numpy(jb["label"].astype(np.int64)[:, None]),
+                bins_t=torch.from_numpy(np.asarray(bins64).astype(np.int64)),
+                res_t=torch.from_numpy(np.asarray(res64)),
+                y_t=torch.from_numpy(y64),
+            )
+        )
+
+    traj_jax, final_state = run_jax_loop(cfg, centers, batches64, variables)
+    traj_ref = run_reference_loop(
+        model, batches64, centers, axisAngle.geodesic_loss, lr=cfg.init_lr
+    )
+
+    assert len(traj_ref) == len(traj_jax) == N_WARMUP + N_MAIN
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"x64 step {t} metric '{k}' diverged (torch vs jax)",
+            )
+
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    # ~1e3x amplification of ~1e-13 step noise: far under 1e-8, while any
+    # semantic error displaces params by O(lr)=1e-4 per wrong step
+    assert _max_abs_err(final_state.params, final_ref["params"]) < 1e-8
+    for a, b in zip(
+        jax.tree.leaves(final_state.batch_stats),
+        jax.tree.leaves(final_ref["batch_stats"]),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() < 1e-8, "BN running stats diverged at f64"
+
+
+# ---------------------------------------------------------------------------
+# evaluation protocol: the reference's OWN mySGD loop vs
+# SnapshotEnsembleEvaluator (round-5 ask #3)
+# ---------------------------------------------------------------------------
+
+# cycle length 4 with 10 fine-tune steps -> snapshots at steps 1, 5, 9
+# ((count % c == c/2) with 1-based count, evaluateGeodesicBDModel.py:141)
+EVAL_C, N_EVAL_STEPS = 4, 10
+# the reference defaults (alpha1=1e-6, alpha2=1e-8) move parameters by
+# ~1e-5 over 10 steps — too little signal to detect a schedule off-by-one.
+# Scaled up 100x, the triangle wave's shape is visible in the loss
+# trajectory while SGD stays stable; both sides get the same values.
+EVAL_A1, EVAL_A2 = 1e-4, 1e-6
+
+
+class _ListLoader:
+    """Duck-typed loader: a fixed list of batch dicts (the loaders' only
+    contract with Trainer/evaluator is iteration + len)."""
+
+    def __init__(self, items):
+        self._items = items
+
+    def __len__(self):
+        return len(self._items)
+
+    def __iter__(self):
+        return iter([dict(d) for d in self._items])
+
+
+def _torch_testing(model, batches, centers_t):
+    """The reference's testing() pass (evaluateGeodesicBDModel.py:157-178):
+    eval-mode forward, decode centers[argmax] + residual."""
+    model.eval()
+    trues, preds, labels = [], [], []
+    with torch.no_grad():
+        for b in batches:
+            out = model(b["x_t"], b["label_t"])
+            ind = torch.argmax(out[0], dim=1)
+            preds.append(
+                (torch.index_select(centers_t, 0, ind) + out[1]).numpy().copy()
+            )
+            trues.append(b["y_t"].numpy())
+            labels.append(b["label_t"].numpy().ravel())
+    model.train()
+    return (
+        np.concatenate(trues),
+        np.concatenate(preds),
+        np.concatenate(labels),
+    )
+
+
+def run_reference_eval_loop(model, batches, centers, axisAngle, helperFunctions):
+    """The reference fine-tune protocol, verbatim semantics
+    (evaluateGeodesicBDModel.py:92-145): their OWN mySGD optimizer
+    (triangular cyclical rate, helperFunctions.py:74-120) over all params,
+    main-form loss with the lagged s starting at 0, and a testing() snapshot
+    whenever count % c == c/2; per-snapshot MedErr via their own
+    get_error2."""
+    opt = helperFunctions.mySGD(
+        model.parameters(), c=EVAL_C, alpha1=EVAL_A1, alpha2=EVAL_A2
+    )
+    ce = nn.CrossEntropyLoss()
+    gve = axisAngle.geodesic_loss()
+    centers_t = torch.from_numpy(centers)
+    traj, snaps = [], []
+    model.train()
+    s = 0.0
+    for i in range(N_EVAL_STEPS):
+        b = batches[i % len(batches)]
+        out = model(b["x_t"], b["label_t"])
+        _, ind = torch.max(out[0], dim=1)
+        ypred = torch.index_select(centers_t, 0, ind) + out[1]
+        Lc = ce(out[0], b["bins_t"])
+        Lr = gve(ypred, b["y_t"])
+        loss = Lc + math.exp(-s) * Lr + s
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        s = math.log(Lr.item())
+        traj.append(dict(loss=loss.item(), lc=Lc.item(), lr=Lr.item(), s=s))
+        if (i + 1) % EVAL_C == EVAL_C // 2:
+            ytrue, ypred_np, labels = _torch_testing(model, batches, centers_t)
+            snaps.append(
+                dict(
+                    med=float(
+                        axisAngle.get_error2(ytrue, ypred_np, labels, C)
+                    ),
+                    ypred=ypred_np,
+                )
+            )
+    return traj, snaps
+
+
+def run_jax_eval_loop(cfg, centers, batches, init_variables):
+    """The same protocol through the real SnapshotEnsembleEvaluator."""
+    from multi_modal_regression_tpu.train.evaluator import (
+        SnapshotEnsembleEvaluator,
+    )
+
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=init_variables["params"],
+        batch_stats=init_variables["batch_stats"],
+    )
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    ev = SnapshotEnsembleEvaluator(
+        trainer, cycle_len=EVAL_C, record_history=True
+    )
+    train_batches = [
+        batches[i % len(batches)]["jax"] for i in range(N_EVAL_STEPS)
+    ]
+    test_batches = [
+        {**b["jax"], "valid": np.ones(B, bool)} for b in batches
+    ]
+    # single-loader protocol: render=None passes batches through unchanged,
+    # matching the torch loop's one forward per step (the harness convention
+    # set by run_reference_loop — BN batch stats over the full batch)
+    ev.run(
+        state,
+        _ListLoader(train_batches),
+        None,
+        _ListLoader(test_batches),
+        num_epochs=1,
+    )
+    return ev
+
+
+def test_eval_protocol_dynamics_match_reference(ref_modules, centers, batches):
+    """Round-5 ask #3: the last executing-code parity gap reachable without
+    the dataset — the EVALUATION protocol run head-to-head. Certifies by
+    measurement: cyclical_sgd == mySGD (triangle wave incl. the 1-based
+    step offset), the fine-tune s-reset, snapshot cadence, eval-mode BN in
+    the snapshot pass, and the decode+MedErr chain."""
+    binDeltaModels, axisAngle, helperFunctions = ref_modules
+    _torch_seed_all(2)
+    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    model.feature_model = TorchResNet18Features()
+
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _make_cfg("geodesic_bd"),
+        eval_alpha1=EVAL_A1, eval_alpha2=EVAL_A2, max_iterations=0,
+    )
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    ev = run_jax_eval_loop(cfg, centers, batches, variables)
+    traj_ref, snaps_ref = run_reference_eval_loop(
+        model, batches, centers, axisAngle, helperFunctions
+    )
+
+    # trajectories: SGD has no eps-dominated second moment, so divergence
+    # growth is much slower than Adam's; argmax-decode bin flips remain the
+    # only chaos source (same as the training tests)
+    assert len(ev.history) == N_EVAL_STEPS
+    assert_trajectories_match(traj_ref, ev.history, n_strict=6)
+
+    # snapshot cadence (steps 1, 5, 9) and per-snapshot MedErr sequence.
+    # Per-row comparison is flip-tolerant, like the training tests'
+    # post-n_strict window: the random-init model has near-tied bin scores,
+    # and once cross-framework drift crosses a tied margin one row decodes
+    # to a different center (measured: exactly 1/36 rows at O(1), all
+    # others < 5e-3). A semantic break (wrong schedule, wrong BN mode,
+    # wrong decode) moves MANY rows, not one.
+    assert len(ev.snapshots) == len(snaps_ref) == 3
+    for ours, ref in zip(ev.snapshots, snaps_ref):
+        row_diff = np.linalg.norm(ours.ypred - ref["ypred"], axis=-1)
+        flips = int((row_diff > 0.1).sum())
+        assert flips <= 2, f"{flips} rows flipped bins (chaos would be ~1)"
+        assert np.median(row_diff) < 1e-3
+        if flips:
+            assert row_diff[row_diff <= 0.1].max() < 0.02
+        # one flipped row shifts one class's 3-sample median, moving the
+        # 12-class mean by up to a few degrees; flip-free snapshots must
+        # agree tightly
+        med_atol = 3.0 if flips else 0.1
+        np.testing.assert_allclose(
+            ours.med_err, ref["med"], rtol=1e-3, atol=med_atol
+        )
+
+    # the ensemble runs on the parity-checked snapshots
+    med, _ = ev.ensemble()
+    assert np.isfinite(med)
+
+
+# ---------------------------------------------------------------------------
+# probabilistic (soft-bin) protocol: KL soft bins + expected geodesic
+# (round-5 ask #6 — learnProbabilisticBDModel.py executed head-to-head)
+# ---------------------------------------------------------------------------
+
+N_PROB_STEPS = 8
+
+
+@pytest.fixture(scope="module")
+def gmm_dictionary(centers):
+    """A small full-covariance GMM over the pose space shared by both
+    frameworks; the torch side computes its soft targets with sklearn's own
+    predict_proba (the reference pickles an sklearn GMM and calls exactly
+    that, binDeltaGenerators.py:40-52), keeping the target computation
+    independent of our in-graph responsibilities."""
+    from multi_modal_regression_tpu.dictionary.gmm import GMMDictionary
+
+    rng = np.random.default_rng(21)
+    K_, D = centers.shape
+    A = 0.25 * rng.standard_normal((K_, D, D)).astype(np.float32)
+    covs = (
+        np.einsum("kij,klj->kil", A, A)
+        + 0.3 * np.eye(D, dtype=np.float32)[None]
+    )
+    w = rng.uniform(0.5, 1.5, K_).astype(np.float32)
+    w /= w.sum()
+    return GMMDictionary(
+        means=centers.copy(), covariances=covs, weights=w
+    )
+
+
+def _sklearn_predict_proba(gmm_dict, y):
+    from sklearn.mixture import GaussianMixture
+    from sklearn.mixture._gaussian_mixture import (
+        _compute_precision_cholesky,
+    )
+
+    g = GaussianMixture(
+        n_components=gmm_dict.n_components, covariance_type="full"
+    )
+    g.means_ = gmm_dict.means.astype(np.float64)
+    g.covariances_ = gmm_dict.covariances.astype(np.float64)
+    g.weights_ = gmm_dict.weights.astype(np.float64)
+    g.precisions_cholesky_ = _compute_precision_cholesky(
+        g.covariances_, "full"
+    )
+    return g.predict_proba(y.astype(np.float64)).astype(np.float32)
+
+
+def run_reference_prob_loop(model, batches, soft_targets, centers, axisAngle, lr):
+    """learnProbabilisticBDModel.py:96-135, verbatim semantics: Adam at
+    init_lr, Lc = KLDivLoss (elementwise mean) on log-softmax scores vs GMM
+    responsibilities, Lr = softmax-expected per-sample geodesic over all K
+    candidate decodes, self-balance s lagged one step (no warmup phase —
+    the script trains single-phase)."""
+    import torch.nn.functional as F
+
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    kl = nn.KLDivLoss()
+    gve = axisAngle.geodesic_loss(reduce=False)
+    centers_t = torch.from_numpy(centers)
+    traj = []
+    model.train()
+    s = 0.0
+    for i in range(N_PROB_STEPS):
+        b = batches[i % len(batches)]
+        soft_t = torch.from_numpy(soft_targets[i % len(batches)])
+        out = model(b["x_t"], b["label_t"])
+        Lc = kl(F.log_softmax(out[0], dim=1), soft_t)
+        # per-cluster candidate decode, reference arg order
+        # gve_loss(ydata, residual + center_j) (learnProbabilisticBDModel.py:125)
+        Lr = torch.stack(
+            [gve(b["y_t"], out[1] + centers_t[j]) for j in range(K)]
+        )
+        Lr = torch.mean(
+            torch.sum(F.softmax(out[0], dim=1) * torch.t(Lr), dim=1)
+        )
+        loss = Lc + math.exp(-s) * Lr + s
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        s = math.log(Lr.item())
+        traj.append(dict(loss=loss.item(), lc=Lc.item(), lr=Lr.item(), s=s))
+    return traj
+
+
+def test_probabilistic_bd_dynamics_match_reference(
+    ref_modules, centers, batches, gmm_dictionary
+):
+    binDeltaModels, axisAngle, _ = ref_modules
+    _torch_seed_all(4)
+    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    model.feature_model = TorchResNet18Features()
+
+    cfg = _make_cfg("probabilistic_bd")
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+
+    trainer = Trainer(
+        cfg,
+        dictionary=gmm_dictionary,
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    step = trainer.train_step_fn("main")
+    traj_jax = []
+    for i in range(N_PROB_STEPS):
+        b = trainer.shard_batch(batches[i % len(batches)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+
+    soft_targets = [
+        _sklearn_predict_proba(gmm_dictionary, b["y_t"].numpy())
+        for b in batches
+    ]
+    traj_ref = run_reference_prob_loop(
+        model, batches, soft_targets, centers, axisAngle, lr=cfg.init_lr
+    )
+    # the expected-geodesic loss is SMOOTH in the scores (no argmax decode
+    # inside the loss), so the argmax bin-flip chaos of the hard-decode
+    # tests is absent; the whole trajectory holds the strict
+    # float-accumulation growth schedule
+    assert_trajectories_match(traj_ref, traj_jax, n_strict=N_PROB_STEPS)
+
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert_final_states_match(
+        jax.device_get(state), final_ref, cfg.init_lr
+    )
