@@ -129,46 +129,72 @@ def main() -> None:
     )
 
 
-def _probe_backend(timeout_s: float) -> bool:
-    """True iff `jax.devices()` completes in a killable child within timeout.
+def _run_group(cmd: list, timeout_s: float):
+    """subprocess.run in its OWN process group, killing the whole group on
+    timeout. A hung axon backend init can hold helper processes (tunnel
+    endpoints) that a plain child SIGKILL would orphan — and a live orphan
+    holding the tunnel can then fail every retry in the budget.
+
+    Returns (returncode|None, stdout, stderr); returncode None = timeout.
+    """
+    import signal
+
+    proc = subprocess.Popen(
+        cmd,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        start_new_session=True,
+    )
+    try:
+        out, err = proc.communicate(timeout=timeout_s)
+        return proc.returncode, out, err
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        out, err = proc.communicate()
+        return None, out, err
+
+
+def _probe_backend(timeout_s: float) -> str:
+    """'ok' | 'timeout' | 'error' for `jax.devices()` in a killable child.
 
     The hang mode of a dead tunnel is an indefinite block inside backend
     init, which no in-process timeout can interrupt — hence a subprocess.
-    """
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    A fast nonzero exit is a DIFFERENT failure (broken env/install) and is
+    reported as such rather than burning the retry budget as if it were an
+    outage."""
+    rc, _, err = _run_group(
+        [sys.executable, "-c", "import jax; jax.devices()"], timeout_s
+    )
+    if rc == 0:
+        return "ok"
+    if rc is None:
+        return "timeout"
+    sys.stderr.write(f"bench probe child rc={rc}:\n{err[-2000:]}\n")
+    return "error"
 
 
 def _run_child(timeout_s: float) -> "str | None":
     """Run the measurement in a subprocess; return its JSON line or None."""
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child"],
-            timeout=timeout_s,
-            capture_output=True,
-            text=True,
-        )
-    except subprocess.TimeoutExpired:
-        return None
-    if proc.returncode != 0:
-        sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
-        return None
-    for line in reversed(proc.stdout.splitlines()):
+    rc, out, err = _run_group(
+        [sys.executable, os.path.abspath(__file__), "--child"], timeout_s
+    )
+    for line in reversed((out or "").splitlines()):
         line = line.strip()
-        if line.startswith("{") and line.endswith("}"):
+        if rc == 0 and line.startswith("{") and line.endswith("}"):
             try:
                 json.loads(line)
             except ValueError:
                 continue
             return line
+    status = "timed out" if rc is None else f"rc={rc}"
+    sys.stderr.write(
+        f"bench child {status}, no JSON line; stdout tail:\n"
+        f"{(out or '')[-1000:]}\nstderr tail:\n{(err or '')[-2000:]}\n"
+    )
     return None
 
 
@@ -178,13 +204,14 @@ def supervise() -> int:
     run_timeout_s = float(os.environ.get("MMR_BENCH_RUN_TIMEOUT_S", "900"))
     deadline = time.monotonic() + budget_s
     attempts = 0
+    hard_errors = 0
     backoff_s = 30.0
-    while True:
+    error_kind = "tpu_unavailable"
+    while deadline - time.monotonic() > 0:
         attempts += 1
         remaining = deadline - time.monotonic()
-        if remaining <= 0:
-            break
-        if _probe_backend(min(probe_timeout_s, max(remaining, 10.0))):
+        probe = _probe_backend(min(probe_timeout_s, max(remaining, 10.0)))
+        if probe == "ok":
             # Probe is cheap; the real run gets its full window even if that
             # overshoots the retry budget — the budget bounds *retries*, not
             # one in-flight measurement.
@@ -193,10 +220,19 @@ def supervise() -> int:
                 print(line)
                 return 0
             sys.stderr.write(f"bench attempt {attempts}: run failed; retrying\n")
-        else:
+        elif probe == "timeout":
+            hard_errors = 0
             sys.stderr.write(
                 f"bench attempt {attempts}: backend probe timed out; retrying\n"
             )
+        else:
+            # deterministic env failure (import error, broken install):
+            # fail fast after confirming it twice instead of spending the
+            # outage budget and mislabeling it tpu_unavailable
+            hard_errors += 1
+            if hard_errors >= 2:
+                error_kind = "backend_error"
+                break
         if deadline - time.monotonic() <= 0:
             break
         time.sleep(min(backoff_s, max(deadline - time.monotonic(), 0)))
@@ -204,7 +240,7 @@ def supervise() -> int:
     print(
         json.dumps(
             {
-                "error": "tpu_unavailable",
+                "error": error_kind,
                 "metric": "geodesic_bd train throughput (ResNet50, batch 96, 224px)",
                 "value": None,
                 "unit": "images/sec/chip",

@@ -113,14 +113,21 @@ class SnapshotEnsembleEvaluator:
         num_epochs: int | None = None,
     ) -> TrainState:
         cfg = self._cfg
+        # a fresh run records a fresh fine-tune: stale snapshots/history
+        # from a previous run() on the same evaluator would silently
+        # concatenate two runs' records
+        self.snapshots = []
+        self.history = []
         # c = 2 * len(real_loader) (evaluateGeodesicBDModel.py:94)
         c = self.cycle_len or 2 * len(real_loader)
         tx = cyclical_sgd(c, cfg.eval_alpha1, cfg.eval_alpha2)
         import jax.numpy as jnp
 
-        cdtype = {
-            "bfloat16": jnp.bfloat16, "float64": jnp.float64
-        }.get(cfg.compute_dtype)
+        from multi_modal_regression_tpu.train.presets import (
+            resolve_compute_dtype,
+        )
+
+        cdtype = resolve_compute_dtype(cfg.compute_dtype)
         step_fn = jax.jit(
             make_train_step(
                 self.trainer.apply_fn, self.trainer.problem, tx,

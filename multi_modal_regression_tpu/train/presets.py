@@ -153,15 +153,21 @@ def _model_takes_label(kind: str) -> bool:
     )
 
 
+def resolve_compute_dtype(name: str):
+    """compute_dtype config string -> jnp dtype, or None for plain float32
+    (callers that pass `None` downstream mean "leave the f32 default").
+    'float64' exists for the x64 dynamics-parity harness
+    (tests/test_torch_dynamics.py) — requires jax_enable_x64. One shared
+    mapping so model build, train/eval steps, and the snapshot evaluator
+    can never drift to different dtypes."""
+    return {"bfloat16": jnp.bfloat16, "float64": jnp.float64}.get(name)
+
+
 def build_model(cfg: ExperimentConfig):
     from multi_modal_regression_tpu.ops.fused_conv_bn import resolve_impl
     from multi_modal_regression_tpu.ops.stem_pool import resolve_stem_impl
 
-    # float64 exists for the x64 dynamics-parity harness
-    # (tests/test_torch_dynamics.py) — requires jax_enable_x64
-    dtype = {
-        "bfloat16": jnp.bfloat16, "float64": jnp.float64
-    }.get(cfg.compute_dtype, jnp.float32)
+    dtype = resolve_compute_dtype(cfg.compute_dtype) or jnp.float32
     common = dict(
         num_classes=cfg.num_classes, N0=cfg.N0, N1=cfg.N1, N2=cfg.N2,
         feature_network=cfg.feature_network, feature_layer=cfg.feature_layer,

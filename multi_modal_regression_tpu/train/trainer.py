@@ -83,10 +83,11 @@ class Trainer:
         self.apply_fn = make_apply_fn(self.model, config)
 
         resize_to = config.image_size if config.device_resize_from else None
-        # float64: x64 dynamics-parity harness (tests/test_torch_dynamics)
-        cdtype = {
-            "bfloat16": jnp.bfloat16, "float64": jnp.float64
-        }.get(config.compute_dtype)
+        from multi_modal_regression_tpu.train.presets import (
+            resolve_compute_dtype,
+        )
+
+        cdtype = resolve_compute_dtype(config.compute_dtype)
         self._train_steps = {
             phase: jax.jit(
                 make_train_step(

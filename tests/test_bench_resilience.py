@@ -3,17 +3,20 @@
 The TPU tunnel's failure mode is an indefinite hang inside backend init
 (CLAUDE.md), which blanked the driver's BENCH_r04 record. bench.py now runs
 a supervise() parent that never imports jax itself: it probes the backend in
-a killable subprocess, retries within a bounded budget, and emits ONE
-structured JSON line on final failure. These tests exercise the supervisor's
-control flow with the expensive pieces monkeypatched, plus the real probe
-against a subprocess that hangs (simulating the tunnel's observed behavior).
+a killable subprocess (own process group, so tunnel helper processes die
+with it), retries within a bounded budget, distinguishes hangs from hard
+env failures, and emits ONE structured JSON line on final failure. These
+tests exercise the supervisor's control flow with the expensive pieces
+monkeypatched, plus the real probe/group-kill against live subprocesses.
 """
 
 from __future__ import annotations
 
 import importlib.util
 import json
+import subprocess
 import sys
+import time
 from pathlib import Path
 
 REPO = Path(__file__).parent.parent
@@ -26,25 +29,52 @@ def _load_bench():
     return mod
 
 
-def test_probe_times_out_on_hanging_backend(monkeypatch):
-    """A backend whose init hangs forever must be detected within the
-    timeout, not hung on — the exact BENCH_r04 failure mode."""
+def test_run_group_kills_whole_group_on_timeout():
+    """A hung child AND its own children must die at the timeout — orphaned
+    tunnel helpers otherwise poison every retry in the budget."""
     bench = _load_bench()
-    # stand in a hanging `import jax` with a sleeping child
-    real_run = bench.subprocess.run
-
-    def fake_run(cmd, **kw):
-        assert kw.get("timeout") is not None
-        return real_run(
-            [sys.executable, "-c", "import time; time.sleep(60)"], **kw
-        )
-
-    monkeypatch.setattr(bench.subprocess, "run", fake_run)
-    import time
-
     t0 = time.monotonic()
-    assert bench._probe_backend(1.0) is False
-    assert time.monotonic() - t0 < 10
+    # child spawns a grandchild in the same (new) session, then hangs
+    rc, out, _ = bench._run_group(
+        [
+            sys.executable,
+            "-c",
+            "import subprocess, sys, time\n"
+            "p = subprocess.Popen([sys.executable, '-c', 'import time; time.sleep(600)'])\n"
+            "print(p.pid, flush=True)\n"
+            "time.sleep(600)\n",
+        ],
+        timeout_s=2.0,
+    )
+    assert rc is None  # timeout, not exit
+    assert time.monotonic() - t0 < 30
+    grandchild_pid = int(out.strip().splitlines()[0])
+    # the grandchild was in the killed process group
+    for _ in range(50):
+        alive = (
+            subprocess.run(
+                ["kill", "-0", str(grandchild_pid)], capture_output=True
+            ).returncode
+            == 0
+        )
+        if not alive:
+            break
+        time.sleep(0.1)
+    assert not alive, "grandchild survived the group kill"
+
+
+def test_probe_discriminates_hang_from_hard_error(monkeypatch):
+    bench = _load_bench()
+    monkeypatch.setattr(
+        bench, "_run_group", lambda cmd, t: (None, "", "")
+    )
+    assert bench._probe_backend(1.0) == "timeout"
+    monkeypatch.setattr(
+        bench, "_run_group", lambda cmd, t: (1, "", "ImportError: no jax")
+    )
+    assert bench._probe_backend(1.0) == "error"
+    monkeypatch.setattr(bench, "_run_group", lambda cmd, t: (0, "", ""))
+    assert bench._probe_backend(1.0) == "ok"
 
 
 def test_probe_passes_on_live_backend(monkeypatch):
@@ -62,16 +92,22 @@ def test_probe_passes_on_live_backend(monkeypatch):
     ]
     monkeypatch.setenv("PYTHONPATH", os.pathsep.join(kept))
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
-    assert bench._probe_backend(300.0) is True
+    assert bench._probe_backend(300.0) == "ok"
 
 
 def test_supervise_emits_structured_failure_line(monkeypatch, capsys):
-    """Dead tunnel for the whole budget -> ONE parseable JSON line with an
-    `error` key and exit code 0 (the driver must get a parsed record, not a
-    traceback + rc=1)."""
+    """Dead tunnel for the whole budget -> ONE parseable JSON line with
+    error=tpu_unavailable and exit code 0 (the driver must get a parsed
+    record, not a traceback + rc=1)."""
     bench = _load_bench()
     monkeypatch.setenv("MMR_BENCH_BUDGET_S", "0.2")
-    monkeypatch.setattr(bench, "_probe_backend", lambda t: False)
+    probes = []
+
+    def probe(t):
+        probes.append(t)
+        return "timeout"
+
+    monkeypatch.setattr(bench, "_probe_backend", probe)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     rc = bench.supervise()
     assert rc == 0
@@ -80,7 +116,29 @@ def test_supervise_emits_structured_failure_line(monkeypatch, capsys):
     rec = json.loads(lines[0])
     assert rec["error"] == "tpu_unavailable"
     assert rec["value"] is None
-    assert rec["attempts"] >= 1
+    # attempts reported == probes actually made
+    assert rec["attempts"] == len(probes) >= 1
+
+
+def test_supervise_fails_fast_on_hard_backend_error(monkeypatch, capsys):
+    """A deterministic env failure (import error) must NOT burn the outage
+    budget nor be mislabeled tpu_unavailable."""
+    bench = _load_bench()
+    monkeypatch.setenv("MMR_BENCH_BUDGET_S", "900")
+    calls = []
+
+    def probe(t):
+        calls.append(t)
+        return "error"
+
+    monkeypatch.setattr(bench, "_probe_backend", probe)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    t0 = time.monotonic()
+    assert bench.supervise() == 0
+    assert time.monotonic() - t0 < 30
+    assert len(calls) == 2  # confirmed twice, then fail fast
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["error"] == "backend_error"
 
 
 def test_supervise_retries_then_succeeds(monkeypatch, capsys):
@@ -88,7 +146,7 @@ def test_supervise_retries_then_succeeds(monkeypatch, capsys):
     the child must be relayed verbatim."""
     bench = _load_bench()
     monkeypatch.setenv("MMR_BENCH_BUDGET_S", "60")
-    probes = iter([False, False, True])
+    probes = iter(["timeout", "timeout", "ok"])
     monkeypatch.setattr(bench, "_probe_backend", lambda t: next(probes))
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     payload = json.dumps({"metric": "m", "value": 1.0, "unit": "u"})
@@ -98,24 +156,22 @@ def test_supervise_retries_then_succeeds(monkeypatch, capsys):
     assert out == [payload]
 
 
-def test_run_child_extracts_last_json_line():
+def test_run_child_extracts_last_json_line(monkeypatch):
     """The child may print compile-cache chatter around the record; the
-    supervisor must still find the JSON line, and reject garbage."""
+    supervisor must still find the JSON line, and reject garbage/rc!=0."""
     bench = _load_bench()
-
-    class FakeProc:
-        returncode = 0
-        stderr = ""
-        stdout = "warming up\nnot { json\n" + json.dumps({"value": 2}) + "\n"
-
-    real = bench.subprocess.run
-    try:
-        bench.subprocess.run = lambda *a, **k: FakeProc()
-        assert json.loads(bench._run_child(5))["value"] == 2
-        FakeProc.stdout = "no json at all\n"
-        assert bench._run_child(5) is None
-        FakeProc.returncode = 1
-        FakeProc.stdout = json.dumps({"value": 3})
-        assert bench._run_child(5) is None
-    finally:
-        bench.subprocess.run = real
+    good = "warming up\nnot { json\n" + json.dumps({"value": 2}) + "\n"
+    monkeypatch.setattr(bench, "_run_group", lambda cmd, t: (0, good, ""))
+    assert json.loads(bench._run_child(5))["value"] == 2
+    monkeypatch.setattr(
+        bench, "_run_group", lambda cmd, t: (0, "no json at all\n", "")
+    )
+    assert bench._run_child(5) is None
+    monkeypatch.setattr(
+        bench, "_run_group", lambda cmd, t: (1, json.dumps({"value": 3}), "")
+    )
+    assert bench._run_child(5) is None
+    monkeypatch.setattr(
+        bench, "_run_group", lambda cmd, t: (None, "", "")
+    )
+    assert bench._run_child(5) is None

@@ -43,28 +43,35 @@ def _free_port() -> int:
 # port rather than a test failure. The Gloo one is a hardcoded 30 s
 # peer-exchange deadline inside jaxlib racing process skew on a loaded
 # single-CPU box (see parallel/multihost.py initialize docstring); the
-# coordinator ones are the matching connect-phase timeouts. Observed in two
-# judged sessions as the only multihost flake mode.
+# coordinator one is the matching connect-phase timeout. Deliberately
+# NARROW: a bare "DEADLINE_EXCEEDED" also appears in post-training
+# shutdown BarrierErrors, where a relaunch would re-run a job whose
+# writes already landed.
 BRINGUP_SIGNATURES = (
     "Gloo context initialization failed",
-    "DEADLINE_EXCEEDED",
     "Failed to connect to coordination service",
 )
+# a failed process that printed any of these got PAST bring-up — never
+# relaunch it, whatever else its output matches
+PROGRESS_MARKERS = ("[warmup]", "[main]", "final MedErr", "losses")
 
 
 def _launch_cluster_with_retry(build, attempts: int = 3):
     """build(port) -> (returncodes, outputs) for a 2-process cluster.
 
     Retries (fresh port) when a nonzero exit carries a known bring-up
-    signature; any other failure, or exhaustion, asserts with the output.
-    Retry is safe because every signature fires before the workers do any
-    training or filesystem writes."""
+    signature AND no process shows training progress; any other failure,
+    or exhaustion, asserts with the output. Bring-up failures fire before
+    the workers do any training or filesystem writes, so relaunch is
+    idempotent."""
     for attempt in range(attempts):
         rcs, outputs = build(_free_port())
         if all(rc == 0 for rc in rcs):
             return outputs
         flaky = any(
             sig in out for out in outputs for sig in BRINGUP_SIGNATURES
+        ) and not any(
+            marker in out for out in outputs for marker in PROGRESS_MARKERS
         )
         if flaky and attempt + 1 < attempts:
             print(
