@@ -55,12 +55,28 @@ def main() -> None:
     from multi_modal_regression_tpu.parallel.mesh import make_mesh
     from multi_modal_regression_tpu.train import Trainer, get_config
 
+    # MMR_BENCH_SMOKE=1 shrinks the measurement to seconds (resnet18, 32px,
+    # 3 steps) so the WHOLE child path — config, init, compiled step, JSON
+    # emission — is exercisable on CPU in the test suite. The flagship
+    # numbers only ever ran on chip before, so a bitrot in this file would
+    # surface as another blank driver record instead of a red test.
+    smoke = os.environ.get("MMR_BENCH_SMOKE") == "1"
+    batch_size = 12 if smoke else BATCH
+    image_size = 32 if smoke else IMAGE_SIZE
+    warmup_steps = 1 if smoke else WARMUP_STEPS
+    measure_steps = 3 if smoke else MEASURE_STEPS
+
     rng = np.random.default_rng(0)
     cfg = get_config(
         "geodesic_bd",
-        image_size=IMAGE_SIZE,
-        items_per_batch=BATCH // 12,
+        image_size=image_size,
+        items_per_batch=batch_size // 12,
         compute_dtype="bfloat16",
+        **(
+            dict(feature_network="resnet18", N0=512, N1=16, N2=8, dict_size=8)
+            if smoke
+            else {}
+        ),
     )
     centers = (0.8 * rng.standard_normal((cfg.dict_size, 3))).astype(np.float32)
     trainer = Trainer(
@@ -72,7 +88,7 @@ def main() -> None:
     # jit the whole init: un-jitted flax init dispatches thousands of tiny
     # ops over the TPU tunnel (~12 min); jitted it is one compiled program.
     model = trainer.model
-    x0 = jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32)
+    x0 = jnp.zeros((2, image_size, image_size, 3), jnp.float32)
     l0 = jnp.zeros((2,), jnp.int32)
     variables = jax.jit(lambda k: model.init(k, x0, l0, train=False))(
         jax.random.PRNGKey(cfg.seed)
@@ -82,27 +98,29 @@ def main() -> None:
     state = create_train_state(variables, trainer.tx)
 
     batch = {
-        "xdata": rng.integers(0, 256, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), np.uint8),
-        "euler": rng.uniform(-90, 90, (BATCH, 3)).astype(np.float32),
-        "label": np.tile(np.arange(12, dtype=np.int32), BATCH // 12),
+        "xdata": rng.integers(
+            0, 256, (batch_size, image_size, image_size, 3), np.uint8
+        ),
+        "euler": rng.uniform(-90, 90, (batch_size, 3)).astype(np.float32),
+        "label": np.tile(np.arange(12, dtype=np.int32), batch_size // 12),
     }
     batch = trainer.shard_batch(batch)
 
     step_fn = trainer.train_step_fn("main")
-    for _ in range(WARMUP_STEPS):
+    for _ in range(warmup_steps):
         state, metrics = step_fn(state, batch)
     float(metrics["loss"])  # host fetch: block_until_ready does not
     # synchronize through the TPU tunnel; a D2H copy does
 
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
+    for _ in range(measure_steps):
         state, metrics = step_fn(state, batch)
     # the state is donated and chained, so fetching the last step's loss
     # waits for the whole sequence
     float(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    images_per_sec = MEASURE_STEPS * BATCH / dt
+    images_per_sec = measure_steps * batch_size / dt
     # the exact-BN bandwidth floor for this config is ~23 GB/step on the
     # 819 GB/s v5e HBM => ~3350 img/s at 100% efficiency (BASELINE.md
     # round-2 analysis); report the fraction attained alongside the
@@ -124,6 +142,8 @@ def main() -> None:
                 # backend, the record says so instead of passing off host
                 # numbers as chip numbers
                 "platform": jax.devices()[0].platform,
+                # a smoke-mode line must never read as a real record
+                **({"smoke": True} if smoke else {}),
             }
         )
     )

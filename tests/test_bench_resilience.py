@@ -156,6 +156,37 @@ def test_supervise_retries_then_succeeds(monkeypatch, capsys):
     assert out == [payload]
 
 
+def test_bench_child_runs_end_to_end_on_cpu(monkeypatch):
+    """The REAL measurement child (`bench.py --child`) in smoke mode on the
+    CPU backend: config build, jitted init, compiled main-phase steps, and
+    the JSON record all execute. Guards the flagship bench path against
+    bitrot between (possibly tunnel-blocked) rounds."""
+    import os
+
+    env = dict(os.environ)
+    kept = [
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon_site" not in p
+    ]
+    env["PYTHONPATH"] = os.pathsep.join([str(REPO), *kept])
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MMR_BENCH_SMOKE"] = "1"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--child"],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["smoke"] is True
+    assert rec["platform"] == "cpu"  # the honesty guard records the backend
+    assert rec["value"] > 0
+
+
 def test_run_child_extracts_last_json_line(monkeypatch):
     """The child may print compile-cache chatter around the record; the
     supervisor must still find the JSON line, and reject garbage/rc!=0."""
