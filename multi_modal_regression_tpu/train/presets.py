@@ -66,6 +66,11 @@ class ExperimentConfig:
     # problem / loss
     problem: str = "geodesic"
     self_balance: bool = True  # False -> fixed loss Lc + alpha * Lr
+    # most two-phase scripts reset s=0 between warmup and main
+    # (learnGeodesicBDModel.py:240); learnRiemannianBDModel.py is the one
+    # self-balanced script that CARRIES the warmup-final s into the main
+    # phase (its only assignment is the module-level init at :133)
+    reset_s_between_phases: bool = True
     alpha: float = 1.0  # fixed main-phase Lr weight when self-balance is off
     warmup_alpha: float = 1.0  # fixed warmup-phase Lr weight
     # RBF soft-bin width; None -> derived from the dictionary geometry via
@@ -376,8 +381,12 @@ PRESETS: dict[str, dict] = {
         model_kind="one_bin_delta", problem="log_euclidean",
         num_warmup_epochs=0,  # single-phase script (learnLogEuclideanModel.py:111)
     ),
-    # learnRiemannianBDModel.py
-    "riemannian_bd": dict(model_kind="one_bin_delta", problem="riemannian"),
+    # learnRiemannianBDModel.py — the one self-balanced two-phase script
+    # with NO s=0 reset between training_init() and training()
+    "riemannian_bd": dict(
+        model_kind="one_bin_delta", problem="riemannian",
+        reset_s_between_phases=False,
+    ),
     # learnProbabilisticBDModel.py (GMM soft bins, expected loss)
     "probabilistic_bd": dict(
         model_kind="one_bin_delta", problem="probabilistic",

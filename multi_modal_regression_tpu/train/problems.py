@@ -161,6 +161,11 @@ def make_problem(
         return Problem(
             name, "axis_angle", targets, warmup, main,
             lambda out: _decode_hard(out[0], out[1], C),
+            # learnEuclideanBDModel.py keeps the WARM-UP balance form in its
+            # main phase (loss = Lc + 0.5*exp(-2s)*Lr + s with
+            # s' = 0.5*log(Lr) at :178,183 — same lines in both its loops);
+            # geodesic (:189) and laplacian (:179) switch to the main form
+            main_balance="warmup" if name == "euclidean" else "main",
         )
 
     if name == "geodesic_quat":

@@ -341,8 +341,11 @@ class Trainer:
             state = self.run_epoch(
                 state, real_loader, render_loader, "warmup", test_loader
             )
-        # the reference resets s between phases (learnGeodesicBDModel.py:244)
-        state = state.replace(s=jnp.zeros((), jnp.float32))
+        if cfg.reset_s_between_phases:
+            # most two-phase scripts reset s (learnGeodesicBDModel.py:240);
+            # learnRiemannianBDModel.py carries the warmup-final s into the
+            # main phase (no second assignment after its :133 init)
+            state = state.replace(s=jnp.zeros((), jnp.float32))
         for epoch in range(cfg.num_epochs):
             tic = time.time()
             state = self.run_epoch(

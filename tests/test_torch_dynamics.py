@@ -94,10 +94,11 @@ def ref_modules(request):
     torch.Tensor.cuda = lambda self, *a, **k: self
     try:
         import axisAngle
+        import binDeltaLosses
         import binDeltaModels
         import helperFunctions
 
-        yield binDeltaModels, axisAngle, helperFunctions
+        yield binDeltaModels, axisAngle, helperFunctions, binDeltaLosses
     finally:
         nn.Module.cuda = module_cuda
         torch.Tensor.cuda = tensor_cuda
@@ -107,7 +108,8 @@ def ref_modules(request):
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
-        for k in ("axisAngle", "binDeltaModels", "featureModels", "helperFunctions"):
+        for k in ("axisAngle", "binDeltaLosses", "binDeltaModels",
+                  "featureModels", "helperFunctions", "quaternion"):
             sys.modules.pop(k, None)
 
 
@@ -280,7 +282,8 @@ def run_jax_loop(cfg, centers, batches, init_variables):
         b = trainer.shard_batch(batches[i % len(batches)]["jax"])
         state, metrics = step(state, b)
         traj.append({k: float(v) for k, v in metrics.items()})
-    state = state.replace(s=jnp.zeros((), jnp.float32))
+    if cfg.reset_s_between_phases:  # riemannian_bd carries s across phases
+        state = state.replace(s=jnp.zeros((), jnp.float32))
     step = trainer.train_step_fn("main")
     for i in range(N_MAIN):
         b = trainer.shard_batch(batches[i % len(batches)]["jax"])
@@ -323,7 +326,7 @@ def _max_abs_err(tree_a, tree_b):
     )
 
 
-def assert_final_states_match(final_state, final_ref, lr):
+def assert_final_states_match(final_state, final_ref, lr, bn_median_bound=2e-2):
     """Post-training params agree to an ABSOLUTE bound of a few Adam steps:
     each Adam update displaces a parameter by ~lr, so even after the
     argmax-decode bin flip (gradients then differ O(1) for the ~4 tail
@@ -346,7 +349,9 @@ def assert_final_states_match(final_state, final_ref, lr):
         # (1-0.9^10)*(B/(B-1)-1) ~ 6% at B=12. Median deviation separates
         # the two; the max bound catches gross breaks.
         rel = np.abs(a - b) / (np.abs(b) + 0.05 * scale)
-        assert np.median(rel) < 2e-2, f"systematic batch_stats shift: {np.median(rel)}"
+        assert np.median(rel) < bn_median_bound, (
+            f"systematic batch_stats shift: {np.median(rel)}"
+        )
         assert rel.max() < 0.5, f"batch_stats gross break: {rel.max()}"
 
 
@@ -370,7 +375,7 @@ def _make_cfg(preset):
 
 
 def test_geodesic_bd_dynamics_match_reference(ref_modules, centers, batches):
-    binDeltaModels, axisAngle, _ = ref_modules
+    binDeltaModels, axisAngle, _, _ = ref_modules
     _torch_seed_all(0)
     model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
     model.feature_model = TorchResNet18Features()
@@ -391,7 +396,7 @@ def test_geodesic_bd_dynamics_match_reference(ref_modules, centers, batches):
 def test_geodesic_bd_multires_dynamics_match_reference(
     ref_modules, centers, batches
 ):
-    binDeltaModels, axisAngle, _ = ref_modules
+    binDeltaModels, axisAngle, _, _ = ref_modules
     _torch_seed_all(1)
     model = binDeltaModels.OneDeltaPerBinModel(
         "none", C, K, N0, N1, N2, N3, NDIM
@@ -443,7 +448,7 @@ def test_geodesic_bd_dynamics_x64_strict(ref_modules, centers, batches, x64_mode
     error invisible inside f32 drift has nowhere to hide."""
     import dataclasses
 
-    binDeltaModels, axisAngle, _ = ref_modules
+    binDeltaModels, axisAngle, _, _ = ref_modules
     _torch_seed_all(6)
     model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
     model.feature_model = TorchResNet18Features()
@@ -647,7 +652,7 @@ def test_eval_protocol_dynamics_match_reference(ref_modules, centers, batches):
     measurement: cyclical_sgd == mySGD (triangle wave incl. the 1-based
     step offset), the fine-tune s-reset, snapshot cadence, eval-mode BN in
     the snapshot pass, and the decode+MedErr chain."""
-    binDeltaModels, axisAngle, helperFunctions = ref_modules
+    binDeltaModels, axisAngle, helperFunctions, _ = ref_modules
     _torch_seed_all(2)
     model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
     model.feature_model = TorchResNet18Features()
@@ -787,7 +792,7 @@ def run_reference_prob_loop(model, batches, soft_targets, centers, axisAngle, lr
 def test_probabilistic_bd_dynamics_match_reference(
     ref_modules, centers, batches, gmm_dictionary
 ):
-    binDeltaModels, axisAngle, _ = ref_modules
+    binDeltaModels, axisAngle, _, _ = ref_modules
     _torch_seed_all(4)
     model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
     model.feature_model = TorchResNet18Features()
@@ -829,3 +834,223 @@ def test_probabilistic_bd_dynamics_match_reference(
     assert_final_states_match(
         jax.device_get(state), final_ref, cfg.init_lr
     )
+
+
+# ---------------------------------------------------------------------------
+# quaternion protocol: converted dictionary + quaternion geodesic loss
+# (learnGeodesicBDModel_quaternion.py executed head-to-head)
+# ---------------------------------------------------------------------------
+
+
+def test_geodesic_bd_quaternion_dynamics_match_reference(
+    ref_modules, centers, batches
+):
+    """The quaternion BD loop (learnGeodesicBDModel_quaternion.py:96-239 —
+    same two-phase template as geodesic_bd incl. the :239 s reset, with the
+    GBDGeneratorQ target chain: kmeans dictionary CONVERTED to quaternions,
+    bins/residuals in quaternion space, binDeltaGenerators.py:60-84) and the
+    reference's own quaternion.geodesic_loss (quaternion.py:149-163) in the
+    main phase. Torch-side targets run the reference's own euler->R->q
+    chain (helperFunctions.rotation_matrix + quaternion.get_y +
+    convert_dictionary), so the in-graph euler_to_pose('quaternion') +
+    convert_dictionary + hard_bin_targets path is itself under test."""
+    import quaternion as ref_quaternion  # /root/reference, via ref_modules
+
+    binDeltaModels, _, helperFunctions, _ = ref_modules
+    _torch_seed_all(8)
+    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, 4)
+    model.feature_model = TorchResNet18Features()
+
+    cfg = get_config(
+        "geodesic_bd_quaternion",
+        feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, N3=N3, dict_size=K, image_size=SIZE,
+        compute_dtype="float32", optimizer_dtype="float32",
+    )
+    assert cfg.ndim == 4
+
+    Cq = ref_quaternion.convert_dictionary(centers.astype(np.float64))
+    qbatches = []
+    for b in batches:
+        euler = b["jax"]["euler"]
+        yq = np.stack(
+            [ref_quaternion.get_y(helperFunctions.rotation_matrix(*e))
+             for e in euler]
+        )
+        d2 = ((yq[:, None, :] - Cq[None]) ** 2).sum(-1)
+        bins = np.argmin(d2, axis=-1)  # kmeans.predict in quat space
+        res = yq - Cq[bins]
+        qbatches.append(
+            dict(
+                jax=b["jax"],
+                x_t=b["x_t"],
+                label_t=b["label_t"],
+                bins_t=torch.from_numpy(bins.astype(np.int64)),
+                res_t=torch.from_numpy(res.astype(np.float32)),
+                y_t=torch.from_numpy(yq.astype(np.float32)),
+            )
+        )
+
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    traj_jax, final_state = run_jax_loop(cfg, centers, qbatches, variables)
+    traj_ref = run_reference_loop(
+        model, qbatches, Cq.astype(np.float32),
+        ref_quaternion.geodesic_loss, lr=cfg.init_lr,
+    )
+    assert_trajectories_match(traj_ref, traj_jax)
+
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    # BN-stat chaos runs a touch hotter here than in the axis-angle tests
+    # (the quat geodesic's d(acos) diverges as |<q1,q2>| -> 1, so well-fit
+    # samples amplify drift): measured median deviation 2.2-2.9e-2 across
+    # seeds vs the ~5.9e-2 EVERY-element signature of a biased
+    # (flax-default) running-var update — 4e-2 still separates the two.
+    assert_final_states_match(
+        final_state, final_ref, cfg.init_lr, bn_median_bound=4e-2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Riemannian protocol: tangent-residual warmup + SO(3) expm-composed main
+# loss, and the one CARRIED (un-reset) self-balance s in the reference
+# (learnRiemannianBDModel.py executed head-to-head)
+# ---------------------------------------------------------------------------
+
+
+def run_reference_riemannian_loop(
+    model, batches, extras, rotations_dict, binDeltaLosses, lr, capture=None
+):
+    """learnRiemannianBDModel.py:136-233, verbatim semantics: warmup =
+    CE + MSE on the TANGENT residual log(R_bin^T R) (training_init, :158),
+    main = CE + geodesic(R_dict[argmax] @ expm(res), R_true) via the
+    reference's OWN binDeltaLosses.RiemannianLoss (identical math to the
+    script's inline riemannian_exp+geodesic_loss, binDeltaLosses.py:211-239),
+    with its alpha set to the self-balance weight exp(-s) each step. The
+    script's one deviation from the geodesic template: `s` is NEVER reset
+    between the phases (its only assignment outside the loops is the
+    module-level init at :133 — contrast learnGeodesicBDModel.py:240)."""
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    ce = nn.CrossEntropyLoss()
+    mse = nn.MSELoss()
+    riem = binDeltaLosses.RiemannianLoss(1.0, rotations_dict)
+    traj = []
+    model.train()
+    s = 0.0
+    for i in range(N_WARMUP):
+        b, e = batches[i % len(batches)], extras[i % len(batches)]
+        out = model(b["x_t"], b["label_t"])
+        Lc = ce(out[0], b["bins_t"])
+        Lr = mse(out[1], e["res_t"])
+        loss = Lc + 0.5 * math.exp(-2 * s) * Lr + s
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        s = 0.5 * math.log(Lr.item())
+        traj.append(dict(loss=loss.item(), lc=Lc.item(), lr=Lr.item(), s=s))
+    # NO s reset here (learnRiemannianBDModel.py)
+    if capture is not None:  # phase-boundary state for the isolation check
+        import copy
+
+        capture["state_dict"] = copy.deepcopy(model.state_dict())
+        capture["s"] = s
+    for i in range(N_MAIN):
+        b, e = batches[i % len(batches)], extras[i % len(batches)]
+        out = model(b["x_t"], b["label_t"])
+        alpha = math.exp(-s)
+        riem.alpha = alpha  # total = Lc + alpha*Lr (torch.add, :239)
+        total = riem((out[0], out[1]), (b["bins_t"], e["rot_t"]))
+        loss = total + s
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        with torch.no_grad():
+            lc_v = riem.ce(out[0], b["bins_t"]).item()
+        lr_v = (total.item() - lc_v) / alpha
+        s = math.log(lr_v)
+        traj.append(dict(loss=loss.item(), lc=lc_v, lr=lr_v, s=s))
+    return traj
+
+
+def test_riemannian_bd_dynamics_match_reference(ref_modules, centers, batches):
+    """Certifies by measurement, beyond the geodesic tests: the RBDGenerator
+    target chain (hard bin + log(R_bin^T R) tangent residual + R matrices —
+    binDeltaGenerators.py:125-139, computed here with the reference's own
+    get_R/get_y vs our in-graph tangent_residual_targets), the expm-composed
+    main loss (batched exp_so3 == the reference's per-sample Rodrigues loop),
+    and the reference's carried-s phase transition (reset_s_between_phases
+    =False): the first main step must use the warmup-final s, not 0."""
+    binDeltaModels, axisAngle, _, binDeltaLosses = ref_modules
+    _torch_seed_all(5)
+    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    model.feature_model = TorchResNet18Features()
+
+    cfg = _make_cfg("riemannian_bd")
+    assert not cfg.reset_s_between_phases
+
+    # torch-side targets through the reference's OWN geometry code
+    # (RBDGenerator.__getitem__, binDeltaGenerators.py:125-139)
+    rotations_dict = np.stack(
+        [axisAngle.get_R(centers[i]) for i in range(K)]
+    ).astype(np.float32)
+    extras = []
+    for b in batches:
+        y = b["y_t"].numpy()
+        bins = b["bins_t"].numpy()
+        R = np.stack([axisAngle.get_R(y[i]) for i in range(len(y))])
+        res = np.stack(
+            [axisAngle.get_y(rotations_dict[bins[i]].T @ R[i])
+             for i in range(len(y))]
+        )
+        extras.append(
+            dict(
+                rot_t=torch.from_numpy(R.astype(np.float32)),
+                res_t=torch.from_numpy(res.astype(np.float32)),
+            )
+        )
+
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    traj_jax, final_state = run_jax_loop(cfg, centers, batches, variables)
+    cap = {}
+    traj_ref = run_reference_riemannian_loop(
+        model, batches, extras, rotations_dict, binDeltaLosses,
+        lr=cfg.init_lr, capture=cap,
+    )
+    # full-trajectory strict window: warmup only. The main phase is MORE
+    # chaotic than geodesic_bd's: besides the argmax key-rotation select,
+    # the trace-angle d(acos) spikes to ~1/sqrt(2*eps) at its +/-(1-eps)
+    # clamp, so warmup float drift crosses a near-tied bin margin by the
+    # first main step (measured: step 4 Lr jumps 19% while Lc agrees to
+    # 4e-4 — one flipped row, exactly the geodesic tests' chaos signature).
+    assert_trajectories_match(traj_ref, traj_jax, n_strict=N_WARMUP)
+
+    # ...so main-phase semantics are certified by ISOLATION instead: one
+    # compiled main step from the CONVERTED torch phase-boundary state
+    # (same params, same batch, same carried s) must reproduce the torch
+    # loop's first main step to float-reduction noise — this is immune to
+    # the drift chaos and pins the carried-s protocol, the expm-composed
+    # decode, and the trace-angle loss in one measurement.
+    mid = load_reference_bd_checkpoint(cap["state_dict"], cfg)
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=mid["params"],
+        batch_stats=mid["batch_stats"],
+        s=jnp.float32(cap["s"]),
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    step = trainer.train_step_fn("main")
+    _, m = step(state, trainer.shard_batch(batches[0]["jax"]))
+    for k in ("loss", "lc", "lr", "s"):
+        np.testing.assert_allclose(
+            float(m[k]), traj_ref[N_WARMUP][k], rtol=2e-4, atol=2e-5,
+            err_msg=f"first main step metric '{k}' diverged from the "
+                    f"identical phase-boundary state (semantic break)",
+        )
+
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert_final_states_match(final_state, final_ref, cfg.init_lr)

@@ -102,6 +102,37 @@ def test_problem_losses_finite_and_decodable(rng, problem_name, centers):
     assert decoded.shape[0] == 8 and np.all(np.isfinite(np.asarray(decoded)))
 
 
+def test_problem_balance_forms_match_reference_scripts(centers):
+    """The self-balance FORM each script applies, phase by phase — audited
+    line-by-line against the reference loops. The two asymmetric corners:
+    learnEuclideanBDModel.py keeps the warm-up form (0.5*exp(-2s)*Lr,
+    s'=0.5*log Lr) in its MAIN phase too (:178,183 — its evaluate script
+    agrees, evaluateEuclideanBDModel.py:128), while geodesic (:180) and
+    laplacian (:179) switch to exp(-s)*Lr; and learnRiemannianBDModel.py is
+    the one self-balanced two-phase script that never resets s between
+    training_init() and training() (only assignment: :133)."""
+    forms = {
+        "simple": ("warmup", "warmup"),  # learnSimpleBDModel.py:126
+        "geodesic": ("warmup", "main"),  # learnGeodesicBDModel.py:128,180
+        "euclidean": ("warmup", "warmup"),  # learnEuclideanBDModel.py:126,178
+        "laplacian": ("warmup", "main"),  # learnLaplacianBDModel.py:127,179
+        "riemannian": ("warmup", "main"),  # learnRiemannianBDModel.py:158,208
+        "log_euclidean": ("warmup", "warmup"),  # learnLogEuclideanModel.py:135
+        "relaxed_kmeans": (None, None),  # ablationXBDModel fixed weights
+        "classification": (None, None),
+    }
+    for name, (wb, mb) in forms.items():
+        p = make_problem(name, centers)
+        assert p.warmup_balance == wb, name
+        assert p.main_balance == mb, name
+    # the s carry-over across the phase boundary (trainer.fit honors it)
+    from multi_modal_regression_tpu.train import get_config
+
+    assert get_config("riemannian_bd").reset_s_between_phases is False
+    assert get_config("geodesic_bd").reset_s_between_phases is True
+    assert get_config("euclidean_bd").reset_s_between_phases is True
+
+
 def test_problem_geodesic_perfect_prediction_zero_loss(centers):
     """Decoded == target pose -> regression loss ~ 0."""
     p = make_problem("geodesic", centers)
