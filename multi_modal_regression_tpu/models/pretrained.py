@@ -217,6 +217,30 @@ def _stack_head_bank(
     return params, stats
 
 
+def _shared_head(sd: dict, prefix: str, n_layers: int) -> tuple[dict, dict]:
+    """Convert one `prefix.fcL/bnL` shared MLP head (the class-agnostic
+    bin_3layer/res_3layer blocks of the ObjectNet label-concat models,
+    objectnetHelperFunctions.py:110-152) into SharedMLP variables:
+    fcL.weight (O, I) -> fcL/kernel (I, O); BN affine + running stats."""
+    params: dict = {}
+    stats: dict = {}
+    for li in range(1, n_layers + 1):
+        p = {"kernel": np.transpose(sd[f"{prefix}.fc{li}.weight"])}
+        if li == n_layers:
+            p["bias"] = np.asarray(sd[f"{prefix}.fc{li}.bias"])
+        params[f"fc{li}"] = p
+        if li < n_layers:
+            params[f"bn{li}"] = {
+                "scale": np.asarray(sd[f"{prefix}.bn{li}.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.bn{li}.bias"]),
+            }
+            stats[f"bn{li}"] = {
+                "mean": np.asarray(sd[f"{prefix}.bn{li}.running_mean"]),
+                "var": np.asarray(sd[f"{prefix}.bn{li}.running_var"]),
+            }
+    return params, stats
+
+
 def load_reference_bd_checkpoint(path_or_dict: Any, cfg) -> dict:
     """Convert a reference bin-and-delta checkpoint (the model.state_dict()
     `models/<save_str>.tar` files, learnGeodesicBDModel.py:231-232) into
@@ -226,6 +250,12 @@ def load_reference_bd_checkpoint(path_or_dict: Any, cfg) -> dict:
       OneBinDeltaModel                 (model_kind 'one_bin_delta')
       OneDeltaPerBinModel              ('one_delta_per_bin')
       ProbabilisticOneDeltaPerBinModel ('probabilistic')
+    and the four ObjectNet label-concat families
+    (objectnetHelperFunctions.py:155-231):
+      OneBinDeltaModel    ('labelconcat_bd')
+      OneDeltaPerBinModel ('labelconcat_delta_per_bin')
+      RegressionModel     ('labelconcat_regression')
+      ClassificationModel ('labelconcat_classification')
 
     Returns `{"params": ..., "batch_stats": ...}` ready for
     TrainState / model.apply. A user migrating from the reference loads
@@ -238,6 +268,26 @@ def load_reference_bd_checkpoint(path_or_dict: Any, cfg) -> dict:
     )
     params: dict = {"feature_model": bb_params}
     stats: dict = {"feature_model": bb_stats}
+    if cfg.model_kind == "labelconcat_bd":
+        for name in ("bin_model", "res_model"):
+            params[name], stats[name] = _shared_head(sd, name, n_layers=3)
+        return {"params": params, "batch_stats": stats}
+    if cfg.model_kind == "labelconcat_delta_per_bin":
+        params["bin_model"], stats["bin_model"] = _shared_head(
+            sd, "bin_model", n_layers=3
+        )
+        # one res_2layer per cluster (objectnetHelperFunctions.py:181)
+        params["res_models"], stats["res_models"] = _stack_head_bank(
+            sd, "res_models", cfg.dict_size, n_layers=2
+        )
+        return {"params": params, "batch_stats": stats}
+    if cfg.model_kind in (
+        "labelconcat_regression", "labelconcat_classification"
+    ):
+        params["pose_model"], stats["pose_model"] = _shared_head(
+            sd, "pose_model", n_layers=3
+        )
+        return {"params": params, "batch_stats": stats}
     params["bin_models"], stats["bin_models"] = _stack_head_bank(
         sd, "bin_models", cfg.num_classes, n_layers=3
     )

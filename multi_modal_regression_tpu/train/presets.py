@@ -82,6 +82,12 @@ class ExperimentConfig:
     train_only: tuple[str, ...] | None = None
     # optimization (reference defaults: learnGeodesicBDModel.py:41-42,96)
     init_lr: float = 1e-4
+    # per-epoch LR decay applied before each MAIN epoch; 'objectnet' is the
+    # LambdaLR 10^-(ep//10)/(1+ep%10) the two scheduler-stepping ObjectNet
+    # scripts use (learnObjectnetBDModel.py:87,190;
+    # learnObjectnetModel.py:134,238) — main epoch e runs at
+    # init_lr * lambda(e+1). None = constant lr (every other script).
+    epoch_lr_decay: str | None = None
     # global-batch scale-out recipe (SCALING.md): growing items_per_batch
     # k-fold over lr_scaling_base_items (8 = the reference 96-image step)
     # changes optimization semantics — 'linear' scales init_lr by k
@@ -335,6 +341,23 @@ def build_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     mu_dtype = (
         jnp.bfloat16 if cfg.optimizer_dtype == "bfloat16" else None
     )
+    if cfg.epoch_lr_decay is not None:
+        if cfg.epoch_lr_decay != "objectnet":
+            raise ValueError(
+                f"unknown epoch_lr_decay {cfg.epoch_lr_decay!r}"
+            )
+        if cfg.train_only is not None:
+            raise NotImplementedError(
+                "epoch_lr_decay under train_only masking is not wired (no "
+                "reference script combines them)"
+            )
+        # the learning rate becomes an opt_state leaf
+        # (InjectHyperparamsState.hyperparams) so Trainer.fit can set the
+        # per-epoch value between compiled steps without touching the Adam
+        # moments or recompiling (the steps close over tx, not the lr)
+        return optax.inject_hyperparams(
+            lambda learning_rate: optax.adam(learning_rate, mu_dtype=mu_dtype)
+        )(learning_rate=scaled_lr(cfg))
     tx = optax.adam(scaled_lr(cfg), mu_dtype=mu_dtype)
     if cfg.train_only is not None:
         # freeze everything outside the named top-level param collections
@@ -506,16 +529,18 @@ PRESETS: dict[str, dict] = {
     "objectnet_quat": dict(
         model_kind="labelconcat_bd", problem="objectnet_quat",
         num_classes=100, dict_size=16, ndim=4, alpha=10.0,
-        self_balance=False,
+        self_balance=False, epoch_lr_decay="objectnet",
     ),
     # learnObjectnetBDModel.py (axis-angle, learned kmeans dictionary)
     "objectnet_bd": dict(
         model_kind="labelconcat_bd", problem="geodesic",
         num_classes=100, alpha=10.0, self_balance=False,
+        epoch_lr_decay="objectnet",  # scheduler.step() at :190
     ),
     "objectnet_bd_multires": dict(
         model_kind="labelconcat_delta_per_bin", problem="geodesic",
         num_classes=100, dict_size=16, alpha=10.0, self_balance=False,
+        epoch_lr_decay="objectnet",
     ),
     # learnObjectnetRegressionModel.py / learnObjectnetClassificationModel.py
     "objectnet_regression": dict(

@@ -36,6 +36,20 @@ def is_snapshot_step(step: int, c: int) -> bool:
     return (step + 1) % c == c // 2
 
 
+def objectnet_epoch_lr_factor(epoch: int) -> float:
+    """The ObjectNet per-epoch LambdaLR factor: 10^-(ep//10) / (1 + ep%10)
+    (learnObjectnetBDModel.py:87, learnObjectnetModel.py:134 — the two
+    scripts that actually call scheduler.step(), at :190/:238).
+
+    torch semantics: LambdaLR construction applies lambda(0)=1, so the
+    warm-up pass (training_init, before the epoch loop) runs at init_lr;
+    scheduler.step() then precedes training() inside the loop, so MAIN
+    epoch e (0-based) runs at init_lr * lambda(e + 1) — 1/2, 1/3, ...,
+    1/10, then a 10x drop each decade."""
+    ep = epoch
+    return (10.0 ** -(ep // 10)) / (1.0 + ep % 10)
+
+
 def cyclical_sgd(
     c: int, alpha1: float = 1e-6, alpha2: float = 1e-8, momentum: float = 0.0
 ) -> optax.GradientTransformation:

@@ -326,6 +326,27 @@ class Trainer:
                 break
         return state
 
+    def apply_epoch_lr(self, state: TrainState, epoch: int) -> TrainState:
+        """Set the MAIN-epoch learning rate in the injected opt_state
+        (cfg.epoch_lr_decay='objectnet'). The reference steps its LambdaLR
+        BEFORE each training() epoch (learnObjectnetBDModel.py:190), so
+        main epoch e (0-based) runs at init_lr * lambda(e+1); the warm-up
+        pass before the epoch loop ran at lambda(0)=1. The lr lives as an
+        opt_state leaf (optax.inject_hyperparams), so this is a host-side
+        scalar swap between compiled steps — Adam moments untouched, no
+        recompilation."""
+        from multi_modal_regression_tpu.train.presets import scaled_lr
+        from multi_modal_regression_tpu.train.schedules import (
+            objectnet_epoch_lr_factor,
+        )
+
+        lr = scaled_lr(self.config) * objectnet_epoch_lr_factor(epoch + 1)
+        hp = dict(state.opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return state.replace(
+            opt_state=state.opt_state._replace(hyperparams=hp)
+        )
+
     def fit(
         self,
         state: TrainState,
@@ -348,6 +369,8 @@ class Trainer:
             state = state.replace(s=jnp.zeros((), jnp.float32))
         for epoch in range(cfg.num_epochs):
             tic = time.time()
+            if cfg.epoch_lr_decay is not None:
+                state = self.apply_epoch_lr(state, epoch)
             state = self.run_epoch(
                 state, real_loader, render_loader, "main", test_loader
             )

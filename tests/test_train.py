@@ -133,6 +133,68 @@ def test_problem_balance_forms_match_reference_scripts(centers):
     assert get_config("euclidean_bd").reset_s_between_phases is True
 
 
+def test_objectnet_epoch_lr_matches_torch_lambdalr():
+    """objectnet_epoch_lr_factor vs torch's OWN LambdaLR with the reference
+    lambda (learnObjectnetBDModel.py:87), stepped before each training()
+    epoch exactly as the script does (:190): warm-up runs at lambda(0)=1,
+    main epoch e at lambda(e+1) — across two decades of the schedule."""
+    import torch
+
+    from multi_modal_regression_tpu.train.schedules import (
+        objectnet_epoch_lr_factor,
+    )
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=1e-4)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda ep: (10 ** -(ep // 10)) / (1 + ep % 10)
+    )
+    assert opt.param_groups[0]["lr"] == pytest.approx(
+        1e-4 * objectnet_epoch_lr_factor(0)
+    )
+    for epoch in range(25):
+        opt.step()  # torch>=1.1 warns if step() precedes any optimizer.step
+        sched.step()  # before training() (learnObjectnetBDModel.py:190)
+        assert opt.param_groups[0]["lr"] == pytest.approx(
+            1e-4 * objectnet_epoch_lr_factor(epoch + 1)
+        ), epoch
+
+
+def test_epoch_lr_decay_sets_injected_rate(centers):
+    """With epoch_lr_decay the lr is an opt_state leaf; apply_epoch_lr
+    swaps it host-side and a compiled step consumes the new value (first
+    Adam step displaces params by ~lr elementwise, so halving the lr must
+    halve the update)."""
+    cfg = get_config(
+        "objectnet_bd",
+        num_classes=4, feature_network="resnet18", N0=512, N1=8, N2=8,
+        dict_size=len(centers), image_size=32, items_per_batch=1,
+        optimizer_dtype="float32",
+    )
+    trainer = Trainer(cfg, dictionary=KMeansDictionary(cluster_centers=centers))
+    state = trainer.init_state()
+    rng = np.random.default_rng(0)
+    batch = trainer.shard_batch(
+        {
+            "xdata": rng.integers(0, 256, (4, 32, 32, 3), np.uint8),
+            "euler": rng.uniform(-60, 60, (4, 3)).astype(np.float32),
+            "label": np.arange(4, dtype=np.int32),
+        }
+    )
+    step = trainer.train_step_fn("main")
+    # the compiled step donates its input state: snapshot before stepping
+    b0 = np.asarray(state.params["bin_model"]["fc3"]["bias"]).copy()
+    s1, _ = step(trainer.apply_epoch_lr(state, 0), batch)
+    state2 = trainer.init_state()  # fresh identical state (same seed)
+    s2, _ = step(trainer.apply_epoch_lr(state2, 19), batch)
+    lr_ratio = (10 ** -(20 // 10)) / (1 + 20 % 10) / 0.5  # lambda(20)/lambda(1)
+    d1 = np.asarray(s1.params["bin_model"]["fc3"]["bias"]) - b0
+    d2 = np.asarray(s2.params["bin_model"]["fc3"]["bias"]) - b0
+    # rtol dominated by f32 (p+u)-p cancellation at the 1e-6 update scale;
+    # an unapplied lr would be 50x off
+    np.testing.assert_allclose(d2, d1 * lr_ratio, rtol=5e-3, atol=1e-12)
+
+
 def test_problem_geodesic_perfect_prediction_zero_loss(centers):
     """Decoded == target pose -> regression loss ~ 0."""
     p = make_problem("geodesic", centers)
