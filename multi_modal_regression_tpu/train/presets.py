@@ -82,11 +82,18 @@ class ExperimentConfig:
     train_only: tuple[str, ...] | None = None
     # optimization (reference defaults: learnGeodesicBDModel.py:41-42,96)
     init_lr: float = 1e-4
-    # per-epoch LR decay applied before each MAIN epoch; 'objectnet' is the
-    # LambdaLR 10^-(ep//10)/(1+ep%10) the two scheduler-stepping ObjectNet
-    # scripts use (learnObjectnetBDModel.py:87,190;
-    # learnObjectnetModel.py:134,238) — main epoch e runs at
-    # init_lr * lambda(e+1). None = constant lr (every other script).
+    # per-epoch LR decay applied before each MAIN epoch, mirroring the
+    # reference's scheduler.step()-before-training() pattern (main epoch e
+    # runs at init_lr * factor(e+1); warm-up/pre-loop passes at factor(0)=1).
+    # 'objectnet' = LambdaLR 10^-(ep//10)/(1+ep%10)
+    # (learnObjectnetBDModel.py:87,190; learnObjectnetModel.py:134,238);
+    # 'step' = StepLR(step_size=1, gamma=0.1) — the regression family,
+    # classifiers, independent/rendered/probabilistic BD, and all four
+    # ablation scripts (e.g. learnGeodesicRegressionModel.py:114,234);
+    # 'inv' = LambdaLR 1/(1+ep) — the joint/categorization family
+    # (learnJointCatPoseModel2_top1.py:142-148, learnCategorizationModel.py:69).
+    # None = constant lr (the two-phase BD scripts comment theirs out,
+    # learnGeodesicBDModel.py:97,243).
     epoch_lr_decay: str | None = None
     # global-batch scale-out recipe (SCALING.md): growing items_per_batch
     # k-fold over lr_scaling_base_items (8 = the reference 96-image step)
@@ -341,25 +348,10 @@ def build_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     mu_dtype = (
         jnp.bfloat16 if cfg.optimizer_dtype == "bfloat16" else None
     )
-    if cfg.epoch_lr_decay is not None:
-        if cfg.epoch_lr_decay != "objectnet":
-            raise ValueError(
-                f"unknown epoch_lr_decay {cfg.epoch_lr_decay!r}"
-            )
-        if cfg.train_only is not None:
-            raise NotImplementedError(
-                "epoch_lr_decay under train_only masking is not wired (no "
-                "reference script combines them)"
-            )
-        # the learning rate becomes an opt_state leaf
-        # (InjectHyperparamsState.hyperparams) so Trainer.fit can set the
-        # per-epoch value between compiled steps without touching the Adam
-        # moments or recompiling (the steps close over tx, not the lr)
-        return optax.inject_hyperparams(
-            lambda learning_rate: optax.adam(learning_rate, mu_dtype=mu_dtype)
-        )(learning_rate=scaled_lr(cfg))
-    tx = optax.adam(scaled_lr(cfg), mu_dtype=mu_dtype)
-    if cfg.train_only is not None:
+
+    def masked(tx):
+        if cfg.train_only is None:
+            return tx
         # freeze everything outside the named top-level param collections
         # (learnCatGivenPoseModel.py:108-126 trains only the new fc)
         keep = set(cfg.train_only)
@@ -370,10 +362,33 @@ def build_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
                 for k, v in params.items()
             }
 
-        tx = optax.multi_transform(
+        return optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()}, label_fn
         )
-    return tx
+
+    if cfg.epoch_lr_decay is not None:
+        from multi_modal_regression_tpu.train.schedules import (
+            EPOCH_LR_FACTORS,
+        )
+
+        if cfg.epoch_lr_decay not in EPOCH_LR_FACTORS:
+            raise ValueError(
+                f"unknown epoch_lr_decay {cfg.epoch_lr_decay!r}; "
+                f"available: {sorted(EPOCH_LR_FACTORS)}"
+            )
+        # the learning rate becomes an opt_state leaf
+        # (InjectHyperparamsState.hyperparams) so Trainer.fit can set the
+        # per-epoch value between compiled steps without touching the Adam
+        # moments or recompiling (the steps close over tx, not the lr).
+        # train_only masking composes INSIDE the injection
+        # (learnCatGivenPoseModel.py freezes the oracle AND steps its
+        # LambdaLR, :111-127,204).
+        return optax.inject_hyperparams(
+            lambda learning_rate: masked(
+                optax.adam(learning_rate, mu_dtype=mu_dtype)
+            )
+        )(learning_rate=scaled_lr(cfg))
+    return masked(optax.adam(scaled_lr(cfg), mu_dtype=mu_dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -414,10 +429,11 @@ PRESETS: dict[str, dict] = {
     "probabilistic_bd": dict(
         model_kind="one_bin_delta", problem="probabilistic",
         num_warmup_epochs=0,  # single-phase (learnProbabilisticBDModel.py:106)
+        epoch_lr_decay="step",  # StepLR(1, 0.1) stepped at :204
     ),
     "probabilistic_bd_multires": dict(
         model_kind="probabilistic", problem="probabilistic_multires",
-        multires=True, num_warmup_epochs=0,
+        multires=True, num_warmup_epochs=0, epoch_lr_decay="step",
     ),
     # RelaXedProbabilisticLossQ / RelaXedProbabilisticMultiresLossQ
     # (binDeltaLosses.py:149-166,197-208) + XPBDGeneratorQ targets
@@ -425,104 +441,125 @@ PRESETS: dict[str, dict] = {
     # learn* script invokes; preset conventions mirror probabilistic_bd
     "probabilistic_bd_quaternion": dict(
         model_kind="one_bin_delta", problem="probabilistic_quat", ndim=4,
-        num_warmup_epochs=0,
+        num_warmup_epochs=0, epoch_lr_decay="step",
     ),
     "probabilistic_bd_quaternion_multires": dict(
         model_kind="probabilistic", problem="probabilistic_quat_multires",
-        ndim=4, multires=True, num_warmup_epochs=0,
+        ndim=4, multires=True, num_warmup_epochs=0, epoch_lr_decay="step",
     ),
     # ablationXBDModel.py (RBF-relaxed soft bins)
-    "relaxed_bd": dict(model_kind="one_bin_delta", problem="relaxed_kmeans"),
+    "relaxed_bd": dict(
+        model_kind="one_bin_delta", problem="relaxed_kmeans",
+        epoch_lr_decay="step",  # ablationXBDModel.py:96,218
+    ),
     # learnClassificationModel.py (dict_size=100) / _new.py (200)
     "classification": dict(
         model_kind="per_class_classification", problem="classification",
         dict_size=100, num_warmup_epochs=0,
+        epoch_lr_decay="step",  # learnClassificationModel.py:94,167
     ),
     # learnGeodesicRegressionModel.py (--nonlinearity valid)
     "geodesic_regression": dict(
         model_kind="per_class_regression", problem="regression",
         nonlinearity="pi_tanh",
+        epoch_lr_decay="step",  # learnGeodesicRegressionModel.py:114,234
     ),
     # learnGeodesicRegression_quaternion.py
     "geodesic_regression_quaternion": dict(
         model_kind="per_class_regression", problem="regression_quat",
         ndim=4, nonlinearity="quat",
+        epoch_lr_decay="step",  # learnGeodesicRegression_quaternion.py:99
     ),
     # learnIndependentRegressionModel.py
     "independent_regression": dict(
         model_kind="independent_regression", problem="regression",
         nonlinearity="pi_tanh",
+        epoch_lr_decay="step",  # learnIndependentRegressionModel.py:92
     ),
     # learnIndependentBDModel.py (fixed weights CE+MSE -> CE+10*geodesic)
     "independent_bd": dict(
         model_kind="independent_bd", problem="geodesic", dict_size=50,
         alpha=10.0, self_balance=False,
+        epoch_lr_decay="step",  # learnIndependentBDModel.py:115,255
     ),
     # learnRenderedBDModel.py (class-agnostic, dict 16, render+real)
     "rendered_bd": dict(
         model_kind="independent_bd", problem="geodesic", dict_size=16,
         alpha=10.0, self_balance=False,
+        epoch_lr_decay="step",  # learnRenderedBDModel.py:115,234
     ),
     # learnJointCatPoseModel_{top1,weighted}.py / _top1_new.py ('top1_st')
     "joint_cat_pose_top1": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v1", problem="joint_bd", mixing="top1",
         self_balance=False,
+        epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel_top1.py:141,219
     ),
     "joint_cat_pose_top1_st": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v1", problem="joint_bd", mixing="top1_st",
         self_balance=False,
+        epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel_top1_new.py:144
     ),
     "joint_cat_pose_weighted": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v1", problem="joint_bd", mixing="weighted",
         self_balance=False,
+        epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel_weighted.py:140
     ),
     # learnJointCatPoseModel2_{top1,weighted}.py (separate category layer4)
     "joint_cat_pose2_top1": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v2", problem="joint_bd", mixing="top1",
         self_balance=False,
+        epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel2_top1.py:148,226
     ),
     "joint_cat_pose2_weighted": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v2", problem="joint_bd", mixing="weighted",
         self_balance=False,
+        epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel2_weighted.py:147
     ),
     # learnJointCatPoseModel3_{top1,weighted}.py (regression oracle)
     "joint_cat_pose3_top1": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_reg_v3", problem="joint_reg", mixing="top1",
         self_balance=False,
+        epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel3_top1.py:129
     ),
     "joint_cat_pose3_weighted": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_reg_v3", problem="joint_reg", mixing="weighted",
         self_balance=False,
+        epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel3_weighted.py:127
     ),
     # learnElhoseinyBDModel.py / learnElhoseinyRegressionModel.py
     "elhoseiny_bd": dict(
         model_kind="elhoseiny_bd", problem="elhoseiny_bd", dict_size=50,
         alpha=10.0, self_balance=False,
+        epoch_lr_decay="step",  # learnElhoseinyBDModel.py:117
     ),
     "elhoseiny_regression": dict(
         model_kind="elhoseiny_reg", problem="elhoseiny_reg",
         self_balance=False,
+        epoch_lr_decay="step",  # learnElhoseinyRegressionModel.py:98
     ),
     # learnCategorizationModel.py (12-way category classifier)
     "categorization": dict(
         model_kind="categorization", problem="category", self_balance=False,
+        epoch_lr_decay="inv",  # LambdaLR 1/(1+ep), learnCategorizationModel.py:69,118
     ),
     # learnCatGivenPoseModel.py — category fc trained on a FROZEN BD oracle
     "cat_given_pose": dict(
         model_kind="joint_bd_v1", problem="category", self_balance=False,
         train_only=("fc",),
+        epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnCatGivenPoseModel.py:121,127,204
     ),
     # learnCatGivenPoseModel3.py — frozen regression oracle
     "cat_given_pose3": dict(
         model_kind="joint_reg_v3", problem="category", self_balance=False,
         train_only=("fc",),
+        epoch_lr_decay="inv",  # learnCatGivenPoseModel3.py:121,127,204
     ),
     # learnObjectnetModel.py — fixed analytic quaternion dictionary, 100
     # classes, label-concat heads, single (real-only) train loader
@@ -556,21 +593,25 @@ PRESETS: dict[str, dict] = {
     # (model selection); identical objective, ablation data split
     "ablation_geodesic_bd": dict(
         model_kind="one_bin_delta", problem="geodesic", self_balance=False,
+        epoch_lr_decay="step",  # ablationGeodesicBDModel.py:95,217
     ),
     # ablationXBDModel.py — relaxed soft bins with data-driven gamma
     # (get_gamma over the dictionary, ablationXBDModel.py:61-62)
     "ablation_xbd": dict(
-        model_kind="one_bin_delta", problem="relaxed_kmeans", gamma=None
+        model_kind="one_bin_delta", problem="relaxed_kmeans", gamma=None,
+        epoch_lr_decay="step",  # ablationXBDModel.py:96,218
     ),
     # ablationGBDAugmentation.py — same objective; the augmented-vs-render
     # data selection is the loader choice (--type real/render/both)
     "ablation_gbd_augmentation": dict(
         model_kind="one_bin_delta", problem="geodesic", self_balance=False,
+        epoch_lr_decay="step",  # ablationGBDAugmentation.py:99,205
     ),
     # ablationDictionarySizeC0.py — classification-only dict-size sweep
     "ablation_c0": dict(
         model_kind="per_class_classification", problem="classification",
         num_warmup_epochs=0,
+        epoch_lr_decay="step",  # ablationDictionarySizeC0.py:97,168
     ),
 }
 

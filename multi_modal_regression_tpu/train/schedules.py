@@ -38,8 +38,8 @@ def is_snapshot_step(step: int, c: int) -> bool:
 
 def objectnet_epoch_lr_factor(epoch: int) -> float:
     """The ObjectNet per-epoch LambdaLR factor: 10^-(ep//10) / (1 + ep%10)
-    (learnObjectnetBDModel.py:87, learnObjectnetModel.py:134 — the two
-    scripts that actually call scheduler.step(), at :190/:238).
+    (learnObjectnetBDModel.py:87, learnObjectnetModel.py:134; stepped at
+    :190/:238).
 
     torch semantics: LambdaLR construction applies lambda(0)=1, so the
     warm-up pass (training_init, before the epoch loop) runs at init_lr;
@@ -48,6 +48,41 @@ def objectnet_epoch_lr_factor(epoch: int) -> float:
     1/10, then a 10x drop each decade."""
     ep = epoch
     return (10.0 ** -(ep // 10)) / (1.0 + ep % 10)
+
+
+def step_epoch_lr_factor(epoch: int) -> float:
+    """StepLR(step_size=1, gamma=0.1): after k scheduler.step() calls the
+    rate is init_lr * 0.1^k. Eleven reference scripts construct this AND
+    actively step it before each training() epoch — the regression family
+    (learnGeodesicRegressionModel.py:114,234 and the quaternion/independent/
+    Elhoseiny variants), the classifiers (learnClassificationModel.py:94,167
+    and _new), learnIndependentBDModel.py:115,255,
+    learnRenderedBDModel.py:115,234, and learnProbabilisticBDModel.py:97,204.
+    Warm-up (before the loop) runs at 0.1^0 = 1; main epoch e at 0.1^(e+1)."""
+    return 0.1 ** epoch
+
+
+def inv_epoch_lr_factor(epoch: int) -> float:
+    """The joint/categorization family's LambdaLR `my_schedule(ep) =
+    1/(1+ep)` (learnJointCatPoseModel2_top1.py:142-148 and the six other
+    joint variants, learnCatGivenPoseModel.py:127,204,
+    learnCategorizationModel.py:69,118). Same call pattern: main epoch e
+    runs at init_lr / (e + 2); any pre-loop pass at lambda(0) = 1."""
+    return 1.0 / (1.0 + epoch)
+
+
+EPOCH_LR_FACTORS = {
+    "objectnet": objectnet_epoch_lr_factor,
+    "step": step_epoch_lr_factor,
+    "inv": inv_epoch_lr_factor,
+}
+
+
+def epoch_lr_factor(kind: str, epoch: int) -> float:
+    """Dispatch on cfg.epoch_lr_decay. `epoch` follows torch's post-step
+    count: Trainer.fit passes (main_epoch + 1) because every stepping
+    script calls scheduler.step() BEFORE training() inside its loop."""
+    return EPOCH_LR_FACTORS[kind](epoch)
 
 
 def cyclical_sgd(

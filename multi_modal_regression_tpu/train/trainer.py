@@ -328,19 +328,21 @@ class Trainer:
 
     def apply_epoch_lr(self, state: TrainState, epoch: int) -> TrainState:
         """Set the MAIN-epoch learning rate in the injected opt_state
-        (cfg.epoch_lr_decay='objectnet'). The reference steps its LambdaLR
-        BEFORE each training() epoch (learnObjectnetBDModel.py:190), so
-        main epoch e (0-based) runs at init_lr * lambda(e+1); the warm-up
-        pass before the epoch loop ran at lambda(0)=1. The lr lives as an
-        opt_state leaf (optax.inject_hyperparams), so this is a host-side
-        scalar swap between compiled steps — Adam moments untouched, no
-        recompilation."""
+        (cfg.epoch_lr_decay: 'objectnet' | 'step' | 'inv' — see
+        schedules.EPOCH_LR_FACTORS). Every stepping reference script calls
+        scheduler.step() BEFORE each training() epoch
+        (learnObjectnetBDModel.py:190, learnGeodesicRegressionModel.py:234,
+        learnCategorizationModel.py:118), so main epoch e (0-based) runs at
+        init_lr * factor(e+1); the warm-up pass before the epoch loop ran
+        at factor(0)=1. The lr lives as an opt_state leaf
+        (optax.inject_hyperparams), so this is a host-side scalar swap
+        between compiled steps — Adam moments untouched, no recompilation."""
         from multi_modal_regression_tpu.train.presets import scaled_lr
-        from multi_modal_regression_tpu.train.schedules import (
-            objectnet_epoch_lr_factor,
-        )
+        from multi_modal_regression_tpu.train.schedules import epoch_lr_factor
 
-        lr = scaled_lr(self.config) * objectnet_epoch_lr_factor(epoch + 1)
+        lr = scaled_lr(self.config) * epoch_lr_factor(
+            self.config.epoch_lr_decay, epoch + 1
+        )
         hp = dict(state.opt_state.hyperparams)
         hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
         return state.replace(

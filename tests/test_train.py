@@ -160,6 +160,134 @@ def test_objectnet_epoch_lr_matches_torch_lambdalr():
         ), epoch
 
 
+@pytest.mark.parametrize("kind", ["step", "inv"])
+def test_step_and_inv_epoch_lr_match_torch_schedulers(kind):
+    """step_epoch_lr_factor vs torch's OWN StepLR(1, 0.1)
+    (learnGeodesicRegressionModel.py:114) and inv_epoch_lr_factor vs
+    torch's LambdaLR(my_schedule = 1/(1+ep))
+    (learnJointCatPoseModel2_top1.py:142-148), stepped before each
+    training() epoch exactly as the scripts do: warm-up / pre-loop passes
+    run at factor(0)=1, main epoch e at factor(e+1)."""
+    import torch
+
+    from multi_modal_regression_tpu.train.schedules import epoch_lr_factor
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=1e-4)
+    if kind == "step":
+        sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.1)
+    else:
+        sched = torch.optim.lr_scheduler.LambdaLR(
+            opt, lambda ep: 1.0 / (1.0 + ep)
+        )
+    assert opt.param_groups[0]["lr"] == pytest.approx(
+        1e-4 * epoch_lr_factor(kind, 0)
+    )
+    for epoch in range(12):
+        opt.step()
+        sched.step()  # before training(), e.g. learnIndependentBDModel.py:255
+        assert opt.param_groups[0]["lr"] == pytest.approx(
+            1e-4 * epoch_lr_factor(kind, epoch + 1), rel=1e-9
+        ), epoch
+
+
+def test_preset_epoch_lr_decay_table_matches_reference_scripts():
+    """Which presets step a per-epoch scheduler, pinned per-script: the
+    reference constructs an lr scheduler in 27 scripts and ACTIVELY steps
+    it (uncommented scheduler.step() before training()) in all of them —
+    StepLR(1, 0.1) in 11 learn* + 4 ablation* scripts, LambdaLR 1/(1+ep)
+    in the 10 joint/categorization-family scripts, and the ObjectNet
+    LambdaLR in 2. The flagship two-phase BD scripts comment theirs out
+    (learnGeodesicBDModel.py:97,243 — audited line-by-line)."""
+    table = {
+        # StepLR(step_size=1, gamma=0.1), live construction + step:
+        "classification": "step",  # learnClassificationModel.py:94,167 (+_new:95)
+        "geodesic_regression": "step",  # learnGeodesicRegressionModel.py:114,234
+        "geodesic_regression_quaternion": "step",  # ...quaternion.py:99
+        "independent_regression": "step",  # learnIndependentRegressionModel.py:92
+        "independent_bd": "step",  # learnIndependentBDModel.py:115,255
+        "rendered_bd": "step",  # learnRenderedBDModel.py:115,234
+        "probabilistic_bd": "step",  # learnProbabilisticBDModel.py:97,204
+        "probabilistic_bd_multires": "step",
+        "probabilistic_bd_quaternion": "step",  # dormant; mirrors probabilistic_bd
+        "probabilistic_bd_quaternion_multires": "step",
+        "elhoseiny_bd": "step",  # learnElhoseinyBDModel.py:117
+        "elhoseiny_regression": "step",  # learnElhoseinyRegressionModel.py:98
+        "relaxed_bd": "step",  # ablationXBDModel.py:96,218
+        "ablation_geodesic_bd": "step",  # ablationGeodesicBDModel.py:95,217
+        "ablation_xbd": "step",  # ablationXBDModel.py:96,218
+        "ablation_gbd_augmentation": "step",  # ablationGBDAugmentation.py:99,205
+        "ablation_c0": "step",  # ablationDictionarySizeC0.py:97,168
+        # LambdaLR my_schedule = 1/(1+ep):
+        "joint_cat_pose_top1": "inv",  # learnJointCatPoseModel_top1.py:141
+        "joint_cat_pose_top1_st": "inv",  # ..._top1_new.py:144
+        "joint_cat_pose_weighted": "inv",  # ..._weighted.py:140
+        "joint_cat_pose2_top1": "inv",  # learnJointCatPoseModel2_top1.py:148
+        "joint_cat_pose2_weighted": "inv",  # ..._weighted.py:147
+        "joint_cat_pose3_top1": "inv",  # learnJointCatPoseModel3_top1.py:129
+        "joint_cat_pose3_weighted": "inv",  # ..._weighted.py:127
+        "categorization": "inv",  # learnCategorizationModel.py:69,118
+        "cat_given_pose": "inv",  # learnCatGivenPoseModel.py:127,204
+        "cat_given_pose3": "inv",  # learnCatGivenPoseModel3.py:127,204
+        # ObjectNet LambdaLR 10^-(ep//10)/(1+ep%10):
+        "objectnet_quat": "objectnet",  # learnObjectnetModel.py:134,238
+        "objectnet_bd": "objectnet",  # learnObjectnetBDModel.py:87,190
+        "objectnet_bd_multires": "objectnet",
+        # scheduler constructed but scheduler.step() commented out, or no
+        # scheduler at all — constant lr:
+        "simple_bd": None,
+        "geodesic_bd": None,  # learnGeodesicBDModel.py:97,243 (commented)
+        "geodesic_bd_multires": None,
+        "geodesic_bd_quaternion": None,
+        "euclidean_bd": None,  # learnEuclideanBDModel.py:95,241 (commented)
+        "laplacian_bd": None,
+        "log_euclidean_bd": None,
+        "riemannian_bd": None,
+        "objectnet_regression": None,
+        "objectnet_classification": None,
+    }
+    from multi_modal_regression_tpu.train.presets import PRESETS
+
+    assert set(table) == set(PRESETS)  # every preset audited, none skipped
+    for preset, want in table.items():
+        assert get_config(preset).epoch_lr_decay == want, preset
+
+
+def test_train_only_composes_with_epoch_lr_decay(centers):
+    """learnCatGivenPoseModel.py freezes the BD oracle (:111-117) AND steps
+    its LambdaLR (:127,204): the masked optimizer must live INSIDE the
+    injected-lr wrapper — frozen collections get exactly zero update while
+    the trainable fc's update scales with the swapped epoch rate."""
+    from multi_modal_regression_tpu.train.presets import build_optimizer
+
+    cfg = get_config("cat_given_pose", optimizer_dtype="float32")
+    assert cfg.train_only == ("fc",) and cfg.epoch_lr_decay == "inv"
+    tx = build_optimizer(cfg)
+    params = {
+        "fc": {"kernel": jnp.ones((3, 2)), "bias": jnp.zeros((2,))},
+        "pose_model": {"w": jnp.ones((4,))},
+    }
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
+    opt_state = tx.init(params)
+    # epoch 3 (0-based) runs at init_lr * 1/(1+4) (scheduler.step() x4)
+    from multi_modal_regression_tpu.train.schedules import epoch_lr_factor
+
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(
+        cfg.init_lr * epoch_lr_factor("inv", 4), jnp.float32
+    )
+    opt_state = opt_state._replace(hyperparams=hp)
+    updates, _ = tx.update(grads, opt_state, params)
+    np.testing.assert_array_equal(
+        np.asarray(updates["pose_model"]["w"]), 0.0
+    )  # frozen oracle
+    # first Adam step: |update| = lr elementwise (up to eps)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(updates["fc"]["kernel"])),
+        cfg.init_lr / 5.0, rtol=1e-3,
+    )
+
+
 def test_epoch_lr_decay_sets_injected_rate(centers):
     """With epoch_lr_decay the lr is an opt_state leaf; apply_epoch_lr
     swaps it host-side and a compiled step consumes the new value (first
