@@ -34,16 +34,12 @@ def test_run_group_kills_whole_group_on_timeout():
     tunnel helpers otherwise poison every retry in the budget."""
     bench = _load_bench()
     t0 = time.monotonic()
-    # child spawns a grandchild in the same (new) session, then hangs
+    # child spawns a grandchild in the same (new) session, then hangs. A
+    # shell child, not a Python one: interpreter startup on a loaded box
+    # runs 2.5-5 s (measured), which outlives any snappy timeout and kills
+    # the child before it ever prints the grandchild pid.
     rc, out, _ = bench._run_group(
-        [
-            sys.executable,
-            "-c",
-            "import subprocess, sys, time\n"
-            "p = subprocess.Popen([sys.executable, '-c', 'import time; time.sleep(600)'])\n"
-            "print(p.pid, flush=True)\n"
-            "time.sleep(600)\n",
-        ],
+        ["/bin/sh", "-c", "sleep 600 & echo $!; wait"],
         timeout_s=2.0,
     )
     assert rc is None  # timeout, not exit
