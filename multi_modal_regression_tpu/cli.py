@@ -443,7 +443,7 @@ def cmd_train(args) -> int:
     trainer.save_checkpoint(state, "final")
     med = trainer.evaluate(state, test)  # overlaps the background save
     trainer.wait_for_checkpoints()
-    print(f"final MedErr: {med:.4f} deg", flush=True)
+    print(f"final {trainer.metric_label(med)}", flush=True)
     return 0
 
 

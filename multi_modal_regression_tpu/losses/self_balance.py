@@ -8,9 +8,14 @@ the combined loss uses the *previous* step's `s` (identical one-step-lagged
 semantics) and the new `s` is returned for the next step, so the whole thing
 stays inside one compiled step function.
 
-Two flavors used by the reference:
+Three flavors used by the reference:
   warm-up:  loss = Lc + 0.5*exp(-2 s)*Lr + s,   s' = 0.5*log(Lr)
   main:     loss = Lc + exp(-s)*Lr + s,         s' = log(Lr)
+  sigma:    the _rene scripts' homoscedastic form tracked as sigma on the
+            host (learnSimpleBDModel_rene.py:140,160-170):
+              loss = 1/(2 sigma^2)*Lr + 3*log(sigma), sigma' = sqrt(Lr/3)
+            carried here as s = log(sigma) (sigma=1 start == s=0):
+              loss = Lc + 0.5*exp(-2 s)*Lr + 3 s,  s' = 0.5*log(Lr/3)
 """
 
 from __future__ import annotations
@@ -44,6 +49,9 @@ def self_balanced(
     elif mode == "main":
         loss = lc + jnp.exp(-s) * lr + s
         s_next = jnp.log(jnp.maximum(lr_detached, 1e-30))
+    elif mode == "sigma":
+        loss = lc + 0.5 * jnp.exp(-2.0 * s) * lr + 3.0 * s
+        s_next = 0.5 * jnp.log(jnp.maximum(lr_detached / 3.0, 1e-30))
     else:
         raise ValueError(f"unknown mode: {mode!r}")
     return loss, s_next

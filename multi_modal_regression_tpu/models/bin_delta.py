@@ -42,6 +42,10 @@ class OneBinDeltaModel(nn.Module):
     dtype: Any = jnp.float32
     fused_bn: str | None = None  # fused conv+BN train path (ops.fused_conv_bn)
     stem_pool: str | None = None  # fused stem bn+relu+maxpool (ops.stem_pool)
+    # restrict train-mode BN to these submodules; the rest run on running
+    # stats even when train=True (the _rene fine-tune mix: model.eval() +
+    # model.res_models.train(), learnSimpleBDModel_rene.py:133,148).
+    bn_train_scope: tuple[str, ...] | None = None
 
     def setup(self):
         self.feature_model = make_backbone(
@@ -61,12 +65,21 @@ class OneBinDeltaModel(nn.Module):
             name="res_models",
         )
 
+    def _train_for(self, name: str, train: bool) -> bool:
+        if self.bn_train_scope is None:
+            return train
+        return train and name in self.bn_train_scope
+
     def __call__(
         self, x: jax.Array, label: jax.Array, train: bool = False
     ) -> tuple[jax.Array, jax.Array]:
-        feat = self.feature_model(x, train=train)
-        scores = select_class(self.bin_models(feat, train=train), label)
-        residual = select_class(self.res_models(feat, train=train), label)
+        feat = self.feature_model(x, train=self._train_for("feature_model", train))
+        scores = select_class(
+            self.bin_models(feat, train=self._train_for("bin_models", train)), label
+        )
+        residual = select_class(
+            self.res_models(feat, train=self._train_for("res_models", train)), label
+        )
         return scores, residual
 
 

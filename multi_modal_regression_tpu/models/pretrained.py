@@ -241,6 +241,17 @@ def _shared_head(sd: dict, prefix: str, n_layers: int) -> tuple[dict, dict]:
     return params, stats
 
 
+def _plain_linear(sd: dict, prefix: str) -> dict:
+    """One bare nn.Linear (the joint scripts' category fc,
+    learnJointCatPoseModel_top1.py:104) -> a single-layer SharedMLP."""
+    return {
+        "fc1": {
+            "kernel": np.transpose(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"]),
+        }
+    }
+
+
 def load_reference_bd_checkpoint(path_or_dict: Any, cfg) -> dict:
     """Convert a reference bin-and-delta checkpoint (the model.state_dict()
     `models/<save_str>.tar` files, learnGeodesicBDModel.py:231-232) into
@@ -256,6 +267,12 @@ def load_reference_bd_checkpoint(path_or_dict: Any, cfg) -> dict:
       OneDeltaPerBinModel ('labelconcat_delta_per_bin')
       RegressionModel     ('labelconcat_regression')
       ClassificationModel ('labelconcat_classification')
+    and the grafted joint cat+pose wrappers (the scripts' inline
+    JointCatPoseModel over a BD / regression oracle + category nn.Linear,
+    learnJointCatPoseModel_top1.py:93-130, _3_top1.py:96-118):
+      JointCatPoseModel over OneBinDeltaModel/OneDeltaPerBinModel
+                          ('joint_bd_v1', multires via cfg.multires)
+      JointCatPoseModel over RegressionModel ('joint_reg_v3')
 
     Returns `{"params": ..., "batch_stats": ...}` ready for
     TrainState / model.apply. A user migrating from the reference loads
@@ -288,15 +305,26 @@ def load_reference_bd_checkpoint(path_or_dict: Any, cfg) -> dict:
             sd, "pose_model", n_layers=3
         )
         return {"params": params, "batch_stats": stats}
+    if cfg.model_kind == "joint_reg_v3":
+        # JointCatPoseModel over a regression oracle: per-class pose bank +
+        # category fc (learnJointCatPoseModel3_top1.py:96-118)
+        params["pose_models"], stats["pose_models"] = _stack_head_bank(
+            sd, "pose_models", cfg.num_classes, n_layers=3
+        )
+        params["fc"] = _plain_linear(sd, "fc")
+        return {"params": params, "batch_stats": stats}
     params["bin_models"], stats["bin_models"] = _stack_head_bank(
         sd, "bin_models", cfg.num_classes, n_layers=3
     )
-    if cfg.model_kind == "one_bin_delta":
-        res_heads, res_layers = cfg.num_classes, 3
-    elif cfg.model_kind in ("one_delta_per_bin", "probabilistic"):
+    multires = cfg.model_kind in ("one_delta_per_bin", "probabilistic") or (
+        cfg.model_kind == "joint_bd_v1" and cfg.multires
+    )
+    if multires:
         # one res_2layer per (class, cluster), class-major — the reference's
         # view(num_classes, num_clusters, ...) order (binDeltaModels.py:141)
         res_heads, res_layers = cfg.num_classes * cfg.dict_size, 2
+    elif cfg.model_kind in ("one_bin_delta", "joint_bd_v1"):
+        res_heads, res_layers = cfg.num_classes, 3
     else:
         raise ValueError(
             f"model_kind {cfg.model_kind!r} is not a bin-delta family"
@@ -304,4 +332,7 @@ def load_reference_bd_checkpoint(path_or_dict: Any, cfg) -> dict:
     params["res_models"], stats["res_models"] = _stack_head_bank(
         sd, "res_models", res_heads, n_layers=res_layers
     )
+    if cfg.model_kind == "joint_bd_v1":
+        # the grafted category head (learnJointCatPoseModel_top1.py:93-104)
+        params["fc"] = _plain_linear(sd, "fc")
     return {"params": params, "batch_stats": stats}

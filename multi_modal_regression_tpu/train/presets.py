@@ -80,6 +80,17 @@ class ExperimentConfig:
     # restrict training to these top-level param collections (None = all),
     # e.g. ("fc",) for learnCatGivenPoseModel.py:108-126's frozen oracle
     train_only: tuple[str, ...] | None = None
+    # restrict train-mode BatchNorm to these top-level modules; everything
+    # else runs on running stats even in the train step (the _rene scripts'
+    # model.eval() + res_models.train() mix, learnSimpleBDModel_rene.py:
+    # 133,148). None = the ordinary global train/eval switch.
+    bn_train_only: tuple[str, ...] | None = None
+    # when training from TWO loaders (real + render), run the reference's
+    # exact two-forward protocol: per-stream BatchNorm batch statistics and
+    # two sequential running-stat EMA updates per step
+    # (learnGeodesicBDModel.py:116-121). Single-loader runs are unaffected.
+    # False = one forward over the concatenated batch (shared BN stats).
+    bn_per_stream: bool = True
     # optimization (reference defaults: learnGeodesicBDModel.py:41-42,96)
     init_lr: float = 1e-4
     # per-epoch LR decay applied before each MAIN epoch, mirroring the
@@ -198,6 +209,12 @@ def build_model(cfg: ExperimentConfig):
         return OneBinDeltaModel(
             **common, num_clusters=cfg.dict_size, ndim=cfg.ndim,
             fused_bn=fused, stem_pool=stem,
+            bn_train_scope=cfg.bn_train_only,
+        )
+    if cfg.bn_train_only is not None:
+        raise ValueError(
+            "bn_train_only is only supported for model_kind 'one_bin_delta' "
+            "(the _rene fine-tune scripts)"
         )
     if k == "one_delta_per_bin":
         return OneDeltaPerBinModel(
@@ -401,6 +418,28 @@ PRESETS: dict[str, dict] = {
         model_kind="one_bin_delta", problem="simple",
         num_warmup_epochs=0,  # single training() phase (learnSimpleBDModel.py:104)
     ),
+    # learnSimpleBDModel_rene.py — fine-tune FRESH delta heads on a frozen
+    # classifier-grafted oracle (warm start: models.surgery.
+    # graft_classifier_into_bd / cli --warm-start-kind classifier):
+    # optimizer over res_models only (:136), model.eval() with
+    # res_models.train() (:133,148 — train-mode BN in the delta heads,
+    # running stats everywhere else), homoscedastic sigma balance on the
+    # raw-residual MSE (:160-170); a StepLR is constructed but its
+    # scheduler.step() is commented out (:137,223) — constant lr
+    "simple_bd_rene": dict(
+        model_kind="one_bin_delta", problem="simple_rene",
+        num_warmup_epochs=0,  # single training() phase
+        train_only=("res_models",),
+        bn_train_only=("res_models",),
+    ),
+    # learnEuclideanBDModel_rene.py — same protocol, sigma-balanced MSE on
+    # the DECODED pose (centers[argmax] + residual, :159-170)
+    "euclidean_bd_rene": dict(
+        model_kind="one_bin_delta", problem="euclidean_rene",
+        num_warmup_epochs=0,  # single training() phase
+        train_only=("res_models",),
+        bn_train_only=("res_models",),
+    ),
     # learnGeodesicBDModel.py — the north-star config
     "geodesic_bd": dict(model_kind="one_bin_delta", problem="geodesic"),
     # learnGeodesicBDModel.py --multires
@@ -544,21 +583,27 @@ PRESETS: dict[str, dict] = {
         self_balance=False,
         epoch_lr_decay="step",  # learnElhoseinyRegressionModel.py:98
     ),
-    # learnCategorizationModel.py (12-way category classifier)
+    # learnCategorizationModel.py (12-way category classifier over a FROZEN
+    # backbone: requires_grad=False + model.eval() during training, :64-66 —
+    # BN runs on running stats and never updates)
     "categorization": dict(
         model_kind="categorization", problem="category", self_balance=False,
+        train_only=("category_model",),
+        frozen_bn=True,  # model.eval() through training(), learnCategorizationModel.py:66,75
         epoch_lr_decay="inv",  # LambdaLR 1/(1+ep), learnCategorizationModel.py:69,118
     ),
     # learnCatGivenPoseModel.py — category fc trained on a FROZEN BD oracle
     "cat_given_pose": dict(
         model_kind="joint_bd_v1", problem="category", self_balance=False,
         train_only=("fc",),
+        frozen_bn=True,  # feature_model.eval() + never model.train(), learnCatGivenPoseModel.py:109-117,135
         epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnCatGivenPoseModel.py:121,127,204
     ),
     # learnCatGivenPoseModel3.py — frozen regression oracle
     "cat_given_pose3": dict(
         model_kind="joint_reg_v3", problem="category", self_balance=False,
         train_only=("fc",),
+        frozen_bn=True,  # feature_model.eval() + never model.train(), learnCatGivenPoseModel3.py:113-118,135
         epoch_lr_decay="inv",  # learnCatGivenPoseModel3.py:121,127,204
     ),
     # learnObjectnetModel.py — fixed analytic quaternion dictionary, 100

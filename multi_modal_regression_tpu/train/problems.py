@@ -141,6 +141,37 @@ def make_problem(
             warmup_balance="warmup", main_balance="warmup",
         )
 
+    if name in ("simple_rene", "euclidean_rene"):
+        # the _rene fine-tune loops: bin heads come from a trained
+        # classifier and stay FROZEN (train_only=('res_models',) on the
+        # preset); the loss is the residual term alone under the
+        # homoscedastic sigma balance — no CE term at all
+        # (learnSimpleBDModel_rene.py:160-170 regresses raw residuals,
+        # learnEuclideanBDModel_rene.py:159-170 the decoded pose)
+        C = jnp.asarray(centers, jnp.float32)
+
+        def targets(y):
+            bins, res = hard_bin_targets(y, C)
+            return {"y": y, "bins": bins, "res": res}
+
+        if name == "simple_rene":
+
+            def losses(out, tg):
+                scores, residual = out
+                return jnp.zeros(()), mse(residual, tg["res"])
+
+        else:
+
+            def losses(out, tg):
+                scores, residual = out
+                return jnp.zeros(()), mse(_decode_hard(scores, residual, C), tg["y"])
+
+        return Problem(
+            name, "axis_angle", targets, losses, losses,
+            lambda out: _decode_hard(out[0], out[1], C),
+            warmup_balance="sigma", main_balance="sigma",
+        )
+
     if name in ("geodesic", "euclidean", "laplacian"):
         C = jnp.asarray(centers, jnp.float32)
         reg = {"geodesic": geodesic_aa, "euclidean": mse, "laplacian": l1}[name]

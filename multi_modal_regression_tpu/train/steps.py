@@ -66,8 +66,19 @@ def make_train_step(
     compute_dtype=None,
     remat: str | None = None,
     frozen_bn: bool = False,
+    dual_stream_bn: bool = False,
 ):
     """Build a jit-able train step for (model, problem, optimizer, phase).
+
+    dual_stream_bn=True reproduces the reference's dual-loader forward
+    EXACTLY: every two-loader script runs model(real) and model(render) as
+    two separate calls (learnGeodesicBDModel.py:116-121), so train-mode
+    BatchNorm normalizes each stream by its OWN batch statistics and the
+    running stats take two sequential EMA updates per step (real first).
+    The batch must be the _interleave layout — first half real, second half
+    render — and the losses still see the concatenated outputs, like the
+    reference's torch.cat before the loss (:122-127). Off (default) the
+    whole batch shares one forward — the single-loader semantics.
 
     frozen_bn=True runs the forward in EVAL BatchNorm mode (running
     statistics, no batch-stat computation or update) while still training
@@ -132,6 +143,29 @@ def make_train_step(
             if frozen_bn:
                 outputs = apply_fn(variables, images, batch["label"], False)
                 new_bs = state.batch_stats
+            elif dual_stream_bn:
+                if images.shape[0] % 2:
+                    raise ValueError(
+                        "dual_stream_bn needs an even batch (equal "
+                        "real/render halves from _interleave), got "
+                        f"{images.shape[0]}"
+                    )
+                n = images.shape[0] // 2
+                out_a, mut_a = apply_fn(
+                    variables, images[:n], batch["label"][:n], True,
+                )
+                # the render forward happens AFTER the real one in the
+                # reference, so its EMA update composes on top of the real
+                # stream's (train-mode BN ignores running stats in the
+                # forward — only the stat chain links the two applies)
+                out_b, mut_b = apply_fn(
+                    {"params": params, "batch_stats": mut_a["batch_stats"]},
+                    images[n:], batch["label"][n:], True,
+                )
+                outputs = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b], axis=0), out_a, out_b
+                )
+                new_bs = mut_b["batch_stats"]
             else:
                 outputs, mutated = apply_fn(
                     variables, images, batch["label"], True,

@@ -104,6 +104,16 @@ class Trainer:
             )
             for phase in ("warmup", "main")
         }
+        # dual-stream variants (per-stream BN, reference's two-forward
+        # protocol) are compiled lazily — only dual-loader fit() runs pay
+        self._dual_train_steps: dict = {}
+        self._step_kwargs = dict(
+            resize_to=resize_to,
+            random_flip=config.train_flip,
+            compute_dtype=cdtype,
+            remat=config.remat,
+            frozen_bn=config.frozen_bn,
+        )
         self._eval_step = jax.jit(
             make_eval_step(
                 self.apply_fn, self.problem, resize_to=resize_to,
@@ -118,10 +128,28 @@ class Trainer:
             else None
         )
 
-    def train_step_fn(self, phase: str = "main"):
+    def train_step_fn(self, phase: str = "main", dual_stream: bool = False):
         """The compiled (donated-state) train step for a phase — the public
-        accessor used by bench.py / __graft_entry__ / external drivers."""
-        return self._train_steps[phase]
+        accessor used by bench.py / __graft_entry__ / external drivers.
+
+        dual_stream=True returns the per-stream-BN variant (the reference's
+        two-forward dual-loader protocol, steps.make_train_step); built on
+        first request."""
+        if not dual_stream:
+            return self._train_steps[phase]
+        if phase not in self._dual_train_steps:
+            cfg = self.config
+            self._dual_train_steps[phase] = jax.jit(
+                make_train_step(
+                    self.apply_fn, self.problem, self.tx,
+                    phase=phase,
+                    alpha=cfg.alpha if phase == "main" else cfg.warmup_alpha,
+                    dual_stream_bn=True,
+                    **self._step_kwargs,
+                ),
+                donate_argnums=(0,),
+            )
+        return self._dual_train_steps[phase]
 
     # -- state ------------------------------------------------------------
 
@@ -278,12 +306,29 @@ class Trainer:
         test_loader: TestLoader | None = None,
         log_every: int = 50,
     ) -> TrainState:
-        step_fn = self._train_steps[phase]
         cfg = self.config
+        # dual loaders + per-stream BN -> the reference's two-forward step
+        # (frozen_bn has no batch statistics, so there is nothing to split)
+        use_dual = (
+            render_loader is not None
+            and cfg.bn_per_stream
+            and not cfg.frozen_bn
+        )
+        step_fn = self.train_step_fn(phase, dual_stream=use_dual)
         n_steps = 0
         t0 = time.time()
         images_done = 0
         for batch in _interleave(real_loader, render_loader):
+            if use_dual:
+                m = batch["is_real"]
+                half = len(m) // 2
+                if len(m) % 2 or not m[:half].all() or m[half:].any():
+                    raise ValueError(
+                        "bn_per_stream needs equal real/render halves per "
+                        "step (match the two loaders' batch sizes, as the "
+                        "reference does) — got a "
+                        f"{int(m.sum())}/{int(len(m) - m.sum())} split"
+                    )
             batch = self.shard_batch(batch)
             state, metrics = step_fn(state, batch)
             n_steps += 1
@@ -319,7 +364,10 @@ class Trainer:
             ):
                 med = self.evaluate(state, test_loader)
                 step = int(state.step)
-                print(f"[{phase}] step {step} MedErr {med:.3f} deg", flush=True)
+                print(
+                    f"[{phase}] step {step} {self.metric_label(med)}",
+                    flush=True,
+                )
                 self._log({"step": step, "med_err": med, "val_loss": med})
                 self.val_history.append(med)
             if cfg.max_iterations and n_steps >= cfg.max_iterations:
@@ -381,7 +429,7 @@ class Trainer:
                 med = self.evaluate(state, test_loader)
                 print(
                     f"Epoch {epoch} done in {time.time() - tic:.1f}s "
-                    f"MedErr {med:.3f} deg",
+                    f"{self.metric_label(med)}",
                     flush=True,
                 )
                 self._log(
@@ -519,6 +567,14 @@ class Trainer:
                 order = np.argsort(gids, kind="stable")
                 out = {k: v[order] for k, v in out.items()}
         return out["ytrue"], out["ypred"], out["label"].astype(np.int32)
+
+    def metric_label(self, value: float) -> str:
+        """Human-readable headline metric ('MedErr 12.3 deg' / 'Acc 0.93')
+        — the category scripts log accuracy, not pose error
+        (learnCategorizationModel.py:118)."""
+        if self.problem.metric == "category_accuracy":
+            return f"Acc {value:.4f}"
+        return f"MedErr {value:.3f} deg"
 
     def evaluate(self, state: TrainState, test_loader: TestLoader) -> float:
         """Headline metric: MedErr (get_error2 parity, axisAngle.py:70-95)

@@ -110,7 +110,7 @@ def ref_modules(request):
                 sys.modules[k] = v
         for k in ("axisAngle", "binDeltaLosses", "binDeltaModels",
                   "featureModels", "helperFunctions", "quaternion",
-                  "objectnetHelperFunctions"):
+                  "objectnetHelperFunctions", "poseModels"):
             sys.modules.pop(k, None)
 
 
@@ -214,7 +214,7 @@ def batches(centers):
 
 
 def run_reference_loop(model, batches, centers, geodesic_loss_cls, lr=1e-4,
-                       main_balance="main"):
+                       main_balance="main", dual_stream=False):
     """The reference training protocol, verbatim semantics
     (learnGeodesicBDModel.py:96-205,240): Adam over all params, warm-up
     phase with Lc + 0.5*exp(-2s)*MSE + s and s' = 0.5*log(Lr), then s reset
@@ -222,18 +222,31 @@ def run_reference_loop(model, batches, centers, geodesic_loss_cls, lr=1e-4,
     s' = log(Lr); `s` always enters the loss as the PREVIOUS step's host
     float. main_balance="warmup" keeps the warm-up balance FORM in the main
     phase — learnEuclideanBDModel.py:178,183 uses 0.5*exp(-2s)*Lr with
-    s' = 0.5*log(Lr) in BOTH its loops, only the Lr definition changes."""
+    s' = 0.5*log(Lr) in BOTH its loops, only the Lr definition changes.
+    dual_stream=True runs the reference's dual-loader forward — model(real)
+    and model(render) as two separate calls with the losses on the
+    torch.cat of the outputs (learnGeodesicBDModel.py:116-127), exercising
+    per-stream train-mode BatchNorm statistics."""
     opt = torch.optim.Adam(model.parameters(), lr=lr)
     ce = nn.CrossEntropyLoss()
     mse = nn.MSELoss()
     gve = geodesic_loss_cls()
     centers_t = torch.from_numpy(centers)
+
+    def forward(b):
+        if not dual_stream:
+            return model(b["x_t"], b["label_t"])
+        n = b["x_t"].shape[0] // 2
+        o_r = model(b["x_t"][:n], b["label_t"][:n])
+        o_s = model(b["x_t"][n:], b["label_t"][n:])
+        return [torch.cat([a, c]) for a, c in zip(o_r, o_s)]
+
     traj = []
     model.train()
     s = 0.0
     for i in range(N_WARMUP):
         b = batches[i % len(batches)]
-        out = model(b["x_t"], b["label_t"])
+        out = forward(b)
         Lc = ce(out[0], b["bins_t"])
         Lr = mse(out[1], b["res_t"])
         loss = Lc + 0.5 * math.exp(-2 * s) * Lr + s
@@ -247,7 +260,7 @@ def run_reference_loop(model, batches, centers, geodesic_loss_cls, lr=1e-4,
     s = 0.0  # reset between phases (learnGeodesicBDModel.py:240)
     for i in range(N_MAIN):
         b = batches[i % len(batches)]
-        out = model(b["x_t"], b["label_t"])
+        out = forward(b)
         _, ind = torch.max(out[0], dim=1)
         ypred = torch.index_select(centers_t, 0, ind) + out[1]
         Lc = ce(out[0], b["bins_t"])
@@ -267,7 +280,7 @@ def run_reference_loop(model, batches, centers, geodesic_loss_cls, lr=1e-4,
     return traj
 
 
-def run_jax_loop(cfg, centers, batches, init_variables):
+def run_jax_loop(cfg, centers, batches, init_variables, dual_stream=False):
     """The same protocol through Trainer's compiled warmup/main steps."""
     trainer = Trainer(
         cfg,
@@ -285,14 +298,14 @@ def run_jax_loop(cfg, centers, batches, init_variables):
     state = state.replace(opt_state=trainer.tx.init(state.params))
     state = jax.device_put(state, replicated_sharding(trainer.mesh))
     traj = []
-    step = trainer.train_step_fn("warmup")
+    step = trainer.train_step_fn("warmup", dual_stream=dual_stream)
     for i in range(N_WARMUP):
         b = trainer.shard_batch(batches[i % len(batches)]["jax"])
         state, metrics = step(state, b)
         traj.append({k: float(v) for k, v in metrics.items()})
     if cfg.reset_s_between_phases:  # riemannian_bd carries s across phases
         state = state.replace(s=jnp.zeros((), jnp.float32))
-    step = trainer.train_step_fn("main")
+    step = trainer.train_step_fn("main", dual_stream=dual_stream)
     for i in range(N_MAIN):
         b = trainer.shard_batch(batches[i % len(batches)]["jax"])
         state, metrics = step(state, b)
@@ -506,33 +519,12 @@ def x64_mode():
         jax.config.update("jax_enable_x64", False)
 
 
-def test_geodesic_bd_dynamics_x64_strict(ref_modules, centers, batches, x64_mode):
-    """The f32 tests justify their loose late-step tolerances with
-    float-accumulation growth + argmax-decode chaos. Here both frameworks
-    run in double (torch .double() model, compute_dtype='float64' under
-    jax_enable_x64): the shared f32-derived inputs widen bit-identically,
-    so the only remaining divergence is f64 reduction order and ulp-level
-    transcendental differences — amplified through all 10 Adam steps that
-    still leaves ~1e-9 relative. EVERY step must agree to 1e-6, with no
-    chaos carve-out: a subtle update-rule, s-protocol, or BN-semantics
-    error invisible inside f32 drift has nowhere to hide."""
-    import dataclasses
-
-    binDeltaModels, axisAngle, _, _ = ref_modules
-    _torch_seed_all(6)
-    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
-    model.feature_model = TorchResNet18Features()
-    model = model.double()
-
-    cfg = dataclasses.replace(_make_cfg("geodesic_bd"), compute_dtype="float64")
-    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
-    assert jax.tree.leaves(variables["params"])[0].dtype == np.float64
-
-    # rebuild the batches with the ENTIRE input path in f64: the torch-side
-    # tensors come from the same jax functions the compiled step runs
-    # in-graph (normalize_images / euler_to_pose / hard_bin_targets), so
-    # the frameworks' inputs agree to f64 codegen noise (~1e-16) instead of
-    # the f32-rounding (~1e-7) that dominated a widened-f32 pipeline
+def _f64_batches(batches, centers):
+    """Rebuild the batches with the ENTIRE input path in f64: the torch-side
+    tensors come from the same jax functions the compiled step runs
+    in-graph (normalize_images / euler_to_pose / hard_bin_targets), so
+    the frameworks' inputs agree to f64 codegen noise (~1e-16) instead of
+    the f32-rounding (~1e-7) that dominated a widened-f32 pipeline."""
     from multi_modal_regression_tpu.data.loader import normalize_images
     from multi_modal_regression_tpu.data.targets import hard_bin_targets
 
@@ -558,7 +550,32 @@ def test_geodesic_bd_dynamics_x64_strict(ref_modules, centers, batches, x64_mode
                 y_t=torch.from_numpy(y64),
             )
         )
+    return batches64
 
+
+def test_geodesic_bd_dynamics_x64_strict(ref_modules, centers, batches, x64_mode):
+    """The f32 tests justify their loose late-step tolerances with
+    float-accumulation growth + argmax-decode chaos. Here both frameworks
+    run in double (torch .double() model, compute_dtype='float64' under
+    jax_enable_x64): the shared f32-derived inputs widen bit-identically,
+    so the only remaining divergence is f64 reduction order and ulp-level
+    transcendental differences — amplified through all 10 Adam steps that
+    still leaves ~1e-9 relative. EVERY step must agree to 1e-6, with no
+    chaos carve-out: a subtle update-rule, s-protocol, or BN-semantics
+    error invisible inside f32 drift has nowhere to hide."""
+    import dataclasses
+
+    binDeltaModels, axisAngle, _, _ = ref_modules
+    _torch_seed_all(6)
+    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    model.feature_model = TorchResNet18Features()
+    model = model.double()
+
+    cfg = dataclasses.replace(_make_cfg("geodesic_bd"), compute_dtype="float64")
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert jax.tree.leaves(variables["params"])[0].dtype == np.float64
+
+    batches64 = _f64_batches(batches, centers)
     traj_jax, final_state = run_jax_loop(cfg, centers, batches64, variables)
     traj_ref = run_reference_loop(
         model, batches64, centers, axisAngle.geodesic_loss, lr=cfg.init_lr
@@ -582,6 +599,63 @@ def test_geodesic_bd_dynamics_x64_strict(ref_modules, centers, batches, x64_mode
     ):
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(a - b).max() < 1e-8, "BN running stats diverged at f64"
+
+
+def test_geodesic_bd_dual_stream_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """The dual-loader forward protocol head-to-head AT f64, uniform 1e-6
+    on every step: every two-loader reference script calls model(real) and
+    model(render) SEPARATELY and cats the outputs before the loss
+    (learnGeodesicBDModel.py:116-127), so train-mode BatchNorm normalizes
+    each stream by its OWN batch statistics and the running stats take two
+    sequential EMA updates per step (real first). The torch side does
+    exactly that with the reference's own modules; the jax side runs
+    Trainer's dual_stream step (steps.make_train_step dual_stream_bn —
+    what Trainer.fit compiles when a render loader is present and
+    cfg.bn_per_stream is on). The single-forward variant diverges from this
+    loop at step 0 (per-stream statistics change the normalization), so
+    f64-tight agreement certifies the split, the EMA chain order, and the
+    concat layout — with no chaos carve-out anywhere. (At f32 the same
+    comparison holds warmup-tight but hits an argmax-decode bin flip by
+    main step 0: half-size statistics batches make near-tied score margins
+    noisier, the chaos mechanism assert_trajectories_match documents.)"""
+    import dataclasses
+
+    binDeltaModels, axisAngle, _, _ = ref_modules
+    _torch_seed_all(15)
+    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    model.feature_model = TorchResNet18Features()
+    model = model.double()
+
+    cfg = dataclasses.replace(_make_cfg("geodesic_bd"), compute_dtype="float64")
+    assert cfg.bn_per_stream  # reference-exact default
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+
+    batches64 = _f64_batches(batches, centers)
+    traj_jax, final_state = run_jax_loop(
+        cfg, centers, batches64, variables, dual_stream=True
+    )
+    traj_ref = run_reference_loop(
+        model, batches64, centers, axisAngle.geodesic_loss, lr=cfg.init_lr,
+        dual_stream=True,
+    )
+    assert len(traj_ref) == len(traj_jax) == N_WARMUP + N_MAIN
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"dual x64 step {t} metric '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final_state.params, final_ref["params"]) < 1e-8
+    for a, b in zip(
+        jax.tree.leaves(final_state.batch_stats),
+        jax.tree.leaves(final_ref["batch_stats"]),
+    ):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-8, (
+            "per-stream BN running-stat chain diverged at f64"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -1242,3 +1316,401 @@ def test_objectnet_bd_dynamics_match_reference(ref_modules, centers, batches):
     assert_trajectories_match(traj_ref, traj_jax)
     final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
     assert_final_states_match(state, final_ref, cfg.init_lr)
+
+
+class _TorchJointCatPoseV1(nn.Module):
+    """The joint script's INLINE wrapper class, re-assembled verbatim around
+    the reference's own OneBinDeltaModel (learnJointCatPoseModel_top1.py:
+    93-127 — the class is defined inside the script, which argparses at
+    import, so it cannot be imported directly): category fc on the shared
+    features, hard one-hot of its argmax scattered on CPU (no gradient
+    through the selection), bmm-mixed per-class bin/delta outputs."""
+
+    def __init__(self, oracle, n0, num_classes):
+        super().__init__()
+        self.num_classes = oracle.num_classes
+        self.num_clusters = oracle.num_clusters
+        self.ndim = oracle.ndim
+        self.feature_model = oracle.feature_model
+        self.bin_models = oracle.bin_models
+        self.res_models = oracle.res_models
+        self.fc = nn.Linear(n0, num_classes)
+
+    def forward(self, x):
+        x = self.feature_model(x)
+        y0 = self.fc(x)
+        label = torch.argmax(y0, dim=1, keepdim=True)
+        label = torch.zeros(label.size(0), self.num_classes).scatter_(
+            1, label.data.cpu(), 1.0
+        )
+        label = label.unsqueeze(2)
+        y1 = torch.stack(
+            [self.bin_models[i](x) for i in range(self.num_classes)]
+        ).permute(1, 2, 0)
+        y2 = torch.stack(
+            [self.res_models[i](x) for i in range(self.num_classes)]
+        ).permute(1, 2, 0)
+        y1 = torch.squeeze(torch.bmm(y1, label), 2)
+        y2 = torch.squeeze(torch.bmm(y2, label), 2)
+        return [y0, y1, y2]
+
+
+def test_joint_cat_pose_dynamics_match_reference(ref_modules, centers, batches):
+    """learnJointCatPoseModel_top1.py:93-252 executed head-to-head with the
+    compiled joint_cat_pose_top1 Trainer step. Certifies by measurement,
+    beyond the function-level joint tests: the top1 hard-mixing forward
+    (stop-gradient one-hot == the reference's CPU scatter), the dual-stream
+    protocol (category CE on REAL rows only at :176, pose CE + decoded
+    geodesic on the real+render concat at :177-180 — carried here by the
+    is_real row mask that Trainer._interleave ships), the fixed-weight loss
+    0.1*Lc_cat + Lc_pose + alpha*Lr (:181, no self-balance), the per-epoch
+    LambdaLR 1/(1+ep) stepped BEFORE each epoch (:141,247 — torch's own
+    scheduler here vs Trainer.apply_epoch_lr), and the joint_bd_v1
+    checkpoint conversion of the grafted category fc."""
+    binDeltaModels, axisAngle, _, _ = ref_modules
+    _torch_seed_all(11)
+    oracle = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    oracle.feature_model = TorchResNet18Features()
+    model = _TorchJointCatPoseV1(oracle, N0, C)
+
+    cfg = get_config(
+        "joint_cat_pose_top1",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, dict_size=K, image_size=SIZE,
+        compute_dtype="float32", optimizer_dtype="float32",
+    )
+    assert cfg.epoch_lr_decay == "inv" and not cfg.self_balance
+    assert cfg.num_warmup_epochs == 0 and cfg.alpha == 1.0
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+
+    n_real = B // 2  # first half real, second half rendered
+    is_real = np.arange(B) < n_real
+    n_epochs, steps_per_epoch = 2, 3
+
+    # --- jax side: 2 main "epochs", lr set before each (factor 1/2, 1/3)
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("main")
+    for ep in range(n_epochs):
+        state = trainer.apply_epoch_lr(state, ep)
+        assert float(
+            state.opt_state.hyperparams["learning_rate"]
+        ) == pytest.approx(cfg.init_lr / (ep + 2))
+        for i in range(steps_per_epoch):
+            b = dict(batches[i % len(batches)]["jax"])
+            b["is_real"] = is_real
+            state, metrics = step(state, trainer.shard_batch(b))
+            traj_jax.append({k: float(v) for k, v in metrics.items()})
+
+    # --- torch side: the reference loop with torch's own LambdaLR
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lambda ep: 1.0 / (1.0 + ep))
+    ce = nn.CrossEntropyLoss()
+    gve = axisAngle.geodesic_loss()
+    centers_t = torch.from_numpy(centers)
+    real_t = torch.from_numpy(is_real)
+    traj_ref = []
+    model.train()
+    for ep in range(n_epochs):
+        sched.step()  # before training() (learnJointCatPoseModel_top1.py:247)
+        assert opt.param_groups[0]["lr"] == pytest.approx(cfg.init_lr / (ep + 2))
+        for i in range(steps_per_epoch):
+            b = batches[i % len(batches)]
+            out = model(b["x_t"])
+            Lc_cat = ce(out[0][real_t], b["label_t"][real_t, 0])
+            Lc_pose = ce(out[1], b["bins_t"])
+            ind = torch.argmax(out[1], dim=1)
+            y = torch.index_select(centers_t, 0, ind) + out[2]
+            Lr = gve(y, b["y_t"])
+            loss = 0.1 * Lc_cat + Lc_pose + Lr
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            traj_ref.append(
+                dict(
+                    loss=loss.item(),
+                    lc=0.1 * Lc_cat.item() + Lc_pose.item(),
+                    lr=Lr.item(),
+                    s=0.0,
+                )
+            )
+
+    # strict only through the first steps: BOTH the decoded-pose argmax and
+    # the top1 category mixing are discontinuous selectors, so accumulated
+    # f32 drift can flip a near-tied selection well before the 6-step mark
+    assert_trajectories_match(traj_ref, traj_jax, n_strict=3)
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert_final_states_match(state, final_ref, cfg.init_lr)
+
+
+def test_cat_given_pose_dynamics_match_reference(ref_modules, centers, batches):
+    """learnCatGivenPoseModel.py:88-204 executed head-to-head: the category
+    fc trained over a FROZEN bin-delta oracle. The reference freezes with
+    requires_grad=False AND holds the whole net in eval mode through
+    training (feature_model.eval() at :109, model.train() commented out at
+    :135) — so BatchNorm runs on RUNNING stats and never updates. Certifies
+    the three-way composition built for this script family: train_only
+    optimizer masking x frozen_bn (eval-mode BN in the train step) x the
+    per-epoch inv LambdaLR, all inside inject_hyperparams. With no argmax
+    selector in the loss and no BN batch-statistics coupling, the
+    trajectories must agree TIGHTLY at every step, and everything outside
+    fc must come back bit-identical."""
+    binDeltaModels, _, _, _ = ref_modules
+    _torch_seed_all(13)
+    oracle = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    oracle.feature_model = TorchResNet18Features()
+    model = _TorchJointCatPoseV1(oracle, N0, C)
+
+    cfg = get_config(
+        "cat_given_pose",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, dict_size=K, image_size=SIZE,
+        compute_dtype="float32", optimizer_dtype="float32",
+    )
+    assert cfg.frozen_bn and cfg.train_only == ("fc",)
+    assert cfg.epoch_lr_decay == "inv"
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    n_epochs, steps_per_epoch = 2, 3
+
+    # --- jax side
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("main")
+    for ep in range(n_epochs):
+        state = trainer.apply_epoch_lr(state, ep)
+        for i in range(steps_per_epoch):
+            b = trainer.shard_batch(batches[i % len(batches)]["jax"])
+            state, metrics = step(state, b)
+            traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: the reference's freeze + eval + filtered Adam
+    model.feature_model.eval()
+    for p in model.feature_model.parameters():
+        p.requires_grad = False
+    model.bin_models.eval()
+    for p in model.bin_models.parameters():
+        p.requires_grad = False
+    model.res_models.eval()
+    for p in model.res_models.parameters():
+        p.requires_grad = False
+    opt = torch.optim.Adam(
+        filter(lambda p: p.requires_grad, model.parameters()), lr=cfg.init_lr
+    )
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lambda ep: 1.0 / (1.0 + ep))
+    ce = nn.CrossEntropyLoss()
+    traj_ref = []
+    for ep in range(n_epochs):
+        sched.step()  # before training() (learnCatGivenPoseModel.py:204)
+        for i in range(steps_per_epoch):
+            b = batches[i % len(batches)]
+            out = model.fc(model.feature_model(b["x_t"]))
+            loss = ce(out, b["label_t"][:, 0])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            traj_ref.append(
+                dict(loss=loss.item(), lc=loss.item(), lr=0.0, s=0.0)
+            )
+
+    # smooth loss, frozen features: every step holds the strict schedule
+    assert_trajectories_match(traj_ref, traj_jax, n_strict=len(traj_ref))
+
+    # frozen state is bit-identical; only fc moved
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    for name in ("feature_model", "bin_models", "res_models"):
+        assert _max_abs_err(
+            final.params[name], variables["params"][name]
+        ) == 0.0, f"{name} params moved despite train_only"
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(final.batch_stats[name])[0]),
+            np.asarray(jax.tree.leaves(variables["batch_stats"][name])[0]),
+            err_msg=f"{name} running stats moved despite frozen_bn",
+        )
+        assert _max_abs_err(
+            final.params[name], final_ref["params"][name]
+        ) == 0.0
+    assert _max_abs_err(final.params["fc"], variables["params"]["fc"]) > 0.0
+    assert _max_abs_err(final.params["fc"], final_ref["params"]["fc"]) < 20 * cfg.init_lr
+
+
+def test_simple_rene_dynamics_match_reference(ref_modules, centers, batches):
+    """learnSimpleBDModel_rene.py:110-245 executed head-to-head: FRESH delta
+    heads fine-tuned on a frozen classifier-grafted oracle. The reference's
+    protocol is three-way asymmetric and this test certifies each leg by
+    measurement: (1) optimizer over res_models only (:136), (2) MIXED BN
+    modes — model.eval() at :133 with model.res_models.train() at :148, so
+    the backbone and bin heads run on running stats while the delta heads
+    use batch stats AND keep updating their running stats (bn_train_only),
+    and (3) the homoscedastic sigma balance on the raw-residual MSE with the
+    host-lagged sigma: loss = 1/(2 sigma^2)*Lr + 3*log(sigma),
+    sigma' = sqrt(Lr/3) (:160-170) — carried on-device as s = log(sigma).
+    The constructed StepLR is never stepped (:223, commented out). With no
+    argmax selector in the loss and the backbone frozen in eval mode, every
+    step holds the strict tolerance schedule."""
+    binDeltaModels, _, _, _ = ref_modules
+    _torch_seed_all(14)
+    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    model.feature_model = TorchResNet18Features()
+
+    cfg = get_config(
+        "simple_bd_rene",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, dict_size=K, image_size=SIZE,
+        compute_dtype="float32", optimizer_dtype="float32",
+    )
+    assert cfg.train_only == ("res_models",)
+    assert cfg.bn_train_only == ("res_models",)
+    assert cfg.epoch_lr_decay is None and cfg.self_balance
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    n_steps = 8
+
+    # --- jax side
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("main")
+    for i in range(n_steps):
+        b = trainer.shard_batch(batches[i % len(batches)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: the reference's eval + res_models.train() + sigma loop
+    model.eval()
+    opt = torch.optim.Adam(model.res_models.parameters(), lr=cfg.init_lr)
+    mse = nn.MSELoss()
+    sigma = 1.0
+    traj_ref = []
+    model.res_models.train()  # training() entry (learnSimpleBDModel_rene.py:148)
+    for i in range(n_steps):
+        b = batches[i % len(batches)]
+        out = model(b["x_t"], b["label_t"])
+        Lr = mse(out[1], b["res_t"])
+        loss = 1 / (2 * sigma ** 2) * Lr + 3 * math.log(sigma)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sigma = math.sqrt(Lr.item() / 3)
+        traj_ref.append(
+            dict(
+                loss=loss.item(), lc=0.0, lr=Lr.item(), s=math.log(sigma)
+            )
+        )
+
+    assert_trajectories_match(traj_ref, traj_jax, n_strict=n_steps)
+
+    # frozen modules bit-identical in BOTH collections (mixed BN at work:
+    # backbone/bin running stats must NOT have moved), res_models moved
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    for name in ("feature_model", "bin_models"):
+        assert _max_abs_err(
+            final.params[name], variables["params"][name]
+        ) == 0.0, f"{name} params moved despite train_only"
+        assert _max_abs_err(
+            final.batch_stats[name], variables["batch_stats"][name]
+        ) == 0.0, f"{name} running stats moved despite bn_train_only"
+    assert _max_abs_err(final.params["res_models"],
+                        variables["params"]["res_models"]) > 0.0
+    assert _max_abs_err(
+        final.params["res_models"], final_ref["params"]["res_models"]
+    ) < 20 * cfg.init_lr
+    # the delta heads' running stats tracked torch's through all 8 updates
+    assert _max_abs_err(
+        final.batch_stats["res_models"], final_ref["batch_stats"]["res_models"]
+    ) < 1e-4
+
+
+def test_joint_reg_v3_conversion_and_forward_parity(ref_modules, batches):
+    """The v3 wrapper (regression oracle, learnJointCatPoseModel3_top1.py:
+    77-116) assembled from the reference's own poseModels.model_3layer
+    heads, converted via the joint_reg_v3 path, forward-compared in eval
+    mode: category logits exact, pose = pi*tanh AFTER the top1 mixing (the
+    script applies the nonlinearity to the bmm-mixed head outputs, :114)."""
+    import poseModels
+
+    _torch_seed_all(12)
+
+    class _TorchJointRegV3(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.num_classes = C
+            self.ndim = NDIM
+            self.feature_model = TorchResNet18Features()
+            self.pose_models = nn.ModuleList(
+                [poseModels.model_3layer(N0, N1, N2, NDIM) for _ in range(C)]
+            )
+            self.fc = nn.Linear(N0, C)
+
+        def forward(self, x):
+            x = self.feature_model(x)
+            y0 = self.fc(x)
+            label = torch.argmax(y0, dim=1, keepdim=True)
+            label = torch.zeros(label.size(0), self.num_classes).scatter_(
+                1, label.data.cpu(), 1.0
+            )
+            label = label.unsqueeze(2)
+            y1 = torch.stack(
+                [self.pose_models[i](x) for i in range(self.num_classes)]
+            ).permute(1, 2, 0)
+            y1 = torch.squeeze(torch.bmm(y1, label), 2)
+            return [y0, float(np.pi) * torch.tanh(y1)]
+
+    model = _TorchJointRegV3()
+    model.eval()
+
+    cfg = get_config(
+        "joint_cat_pose3_top1",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, image_size=SIZE,
+        compute_dtype="float32",
+    )
+    assert cfg.model_kind == "joint_reg_v3" and cfg.mixing == "top1"
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+
+    from multi_modal_regression_tpu.train.presets import build_model
+
+    jmodel = build_model(cfg)
+    b = batches[0]
+    with torch.no_grad():
+        cat_t, pose_t = model(b["x_t"])
+    xn = np.transpose(b["x_t"].numpy(), (0, 2, 3, 1))
+    cat_j, pose_j = jmodel.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(xn), train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cat_j), cat_t.numpy(), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(pose_j), pose_t.numpy(), rtol=2e-4, atol=2e-4
+    )

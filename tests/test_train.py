@@ -120,6 +120,10 @@ def test_problem_balance_forms_match_reference_scripts(centers):
         "log_euclidean": ("warmup", "warmup"),  # learnLogEuclideanModel.py:135
         "relaxed_kmeans": (None, None),  # ablationXBDModel fixed weights
         "classification": (None, None),
+        # the _rene fine-tune loops: homoscedastic sigma form
+        # 1/(2*sigma^2)*Lr + 3*log(sigma), sigma' = sqrt(Lr/3)
+        "simple_rene": ("sigma", "sigma"),  # learnSimpleBDModel_rene.py:161-170
+        "euclidean_rene": ("sigma", "sigma"),  # learnEuclideanBDModel_rene.py:164-170
     }
     for name, (wb, mb) in forms.items():
         p = make_problem(name, centers)
