@@ -139,6 +139,14 @@ class SnapshotEnsembleEvaluator:
                 compute_dtype=cdtype,
                 remat=cfg.remat,
                 frozen_bn=cfg.frozen_bn,
+                # the evaluate scripts' fine-tune loop is ALSO two-forward
+                # (evaluateGeodesicBDModel.py:112-117): per-stream BN when
+                # fine-tuning from dual loaders, like Trainer.fit
+                dual_stream_bn=(
+                    render_loader is not None
+                    and cfg.bn_per_stream
+                    and not cfg.frozen_bn
+                ),
             ),
             donate_argnums=(0,),
         )

@@ -193,6 +193,37 @@ def test_evaluator_budget_caps_whole_run(dataset, centers):
     assert int(state.step) == 6
 
 
+def test_evaluator_dual_stream_bn_wiring(dataset, centers):
+    """The evaluate scripts' fine-tune loop is two-forward in the reference
+    (evaluateGeodesicBDModel.py:112-117), so with dual loaders the
+    evaluator's compiled step must run per-stream BN. Wiring check: the
+    same seeded run differs between bn_per_stream on/off (the split
+    actually engages — per-stream statistics change the forward), while
+    the step/loss values stay finite. The step function itself is
+    certified against the reference's own modules at f64 in
+    test_torch_dynamics.test_geodesic_bd_dual_stream_dynamics_x64_strict."""
+    import dataclasses
+
+    base = get_config("geodesic_bd", **{**TINY, "max_iterations": 2})
+    histories = {}
+    for flag in (True, False):
+        cfg = dataclasses.replace(base, bn_per_stream=flag)
+        trainer = Trainer(
+            cfg, dictionary=KMeansDictionary(cluster_centers=centers)
+        )
+        real, render, test = _loaders(dataset, cfg)
+        ev = SnapshotEnsembleEvaluator(
+            trainer, cycle_len=100, record_history=True
+        )
+        ev.run(trainer.init_state(), real, render, test, num_epochs=1)
+        histories[flag] = [h["loss"] for h in ev.history]
+    assert len(histories[True]) == len(histories[False]) > 0
+    assert all(np.isfinite(v) for v in histories[True])
+    assert histories[True] != histories[False], (
+        "dual loaders + bn_per_stream did not change the evaluator step"
+    )
+
+
 def test_snapshot_ensemble_evaluator(dataset, centers, tmp_path):
     cfg = get_config("geodesic_bd", **{**TINY, "eval_num_epochs": 1})
     trainer = Trainer(cfg, dictionary=KMeansDictionary(cluster_centers=centers))

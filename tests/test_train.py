@@ -240,6 +240,8 @@ def test_preset_epoch_lr_decay_table_matches_reference_scripts():
         # scheduler constructed but scheduler.step() commented out, or no
         # scheduler at all — constant lr:
         "simple_bd": None,
+        "simple_bd_rene": None,  # learnSimpleBDModel_rene.py:137,223 (commented)
+        "euclidean_bd_rene": None,  # learnEuclideanBDModel_rene.py:137,225 (commented)
         "geodesic_bd": None,  # learnGeodesicBDModel.py:97,243 (commented)
         "geodesic_bd_multires": None,
         "geodesic_bd_quaternion": None,
