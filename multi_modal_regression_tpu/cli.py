@@ -210,6 +210,19 @@ def _classes_from_args(args):
         return tuple(str(c).strip() for c in np.atleast_1d(tmp["classes"]))
     from multi_modal_regression_tpu.data import PASCAL3D_CLASSES
 
+    # --num-classes N without --dbinfo means "the first N PASCAL3D+
+    # classes": the data index MUST agree with the model's per-class head
+    # bank — labels beyond num_classes would gather out of bounds in the
+    # compiled step (jnp fill semantics -> NaN losses, found by a verify
+    # drive, not an error message)
+    n = getattr(args, "num_classes", None)
+    if n:
+        if n > len(PASCAL3D_CLASSES):
+            raise SystemExit(
+                f"--num-classes {n} exceeds the {len(PASCAL3D_CLASSES)} "
+                "PASCAL3D+ classes; pass --dbinfo for a custom class list"
+            )
+        return PASCAL3D_CLASSES[:n]
     return PASCAL3D_CLASSES
 
 
@@ -341,6 +354,13 @@ def _make_loaders(args, cfg, host_count: int = 1, host_index: int = 0):
     )
 
     classes = _classes_from_args(args)
+    if cfg.num_classes != len(classes):
+        # e.g. --dbinfo naming 100 classes combined with --num-classes 4:
+        # the index's labels must match the head bank exactly
+        raise SystemExit(
+            f"--num-classes {cfg.num_classes} disagrees with the "
+            f"{len(classes)}-class list from --dbinfo/defaults"
+        )
     protocol = args.protocol or (
         "flat" if cfg.preset.startswith("objectnet") else "balanced"
     )
@@ -725,6 +745,9 @@ def cmd_prepare_data(args) -> int:
 
     from multi_modal_regression_tpu.tools.synthetic import generate_pose_dataset
 
+    synth_kwargs = {}
+    if args.classes:  # default: the full PASCAL3D+ list
+        synth_kwargs["classes"] = tuple(args.classes.split(","))
     for i, sub in enumerate((args.real_subdir, args.render_subdir, args.test_subdir)):
         root = generate_pose_dataset(
             Path(args.out) / sub,
@@ -733,6 +756,7 @@ def cmd_prepare_data(args) -> int:
             # deterministic per-subdir seed (hash() is process-randomized)
             seed=args.seed + 1000 * (i + 1),
             pattern=args.pattern,
+            **synth_kwargs,
         )
         print(f"wrote {root}", flush=True)
     return 0
@@ -950,6 +974,9 @@ def main(argv=None) -> int:
     p_dict.add_argument("--dbinfo", type=str, default=None,
                         help="dbinfo.mat naming the classes (default: the "
                              "12 PASCAL3D+ classes)")
+    p_dict.add_argument("--num-classes", type=int, default=None,
+                        help="without --dbinfo: use the first N PASCAL3D+ "
+                             "classes (matches train --num-classes)")
     p_dict.add_argument("--db-type", choices=("render", "real"),
                         default="render",
                         help="tilt-sign convention of the tree "

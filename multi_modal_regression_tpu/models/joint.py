@@ -139,7 +139,20 @@ class JointCatPoseBDModel(nn.Module):
 
 class JointCatPoseBDModel2(nn.Module):
     """Variant 2: shared stage-1..3 trunk; pose branch = oracle layer4;
-    category branch = a separate layer4 copy + fc."""
+    category branch = a separate layer4 copy + fc.
+
+    NOTE on the reference (learnJointCatPoseModel2_top1.py:92-138): the
+    published script is internally inconsistent — it hardcodes N0=1024
+    (:60) yet builds the oracle via binDeltaModels.OneBinDeltaModel, whose
+    ctor always truncates at layer4 (N0=2048 features,
+    binDeltaModels.py:106), so its `load_state_dict` / forward cannot run
+    as published. This class implements the consistent construction its
+    own pipeline products allow: split a standard layer4 BD oracle at
+    layer3 (shared trunk below, oracle layer4 in the pose branch, heads at
+    N0=2048) and graft a fresh torchvision layer4 + fc for category — the
+    "separate layer4 branch for the category prediction" the forward's
+    category path (:109-114) actually implements. models/surgery.py
+    performs the split from a converted oracle checkpoint."""
 
     num_classes: int = 12
     num_clusters: int = 200

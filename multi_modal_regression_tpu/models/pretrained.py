@@ -305,6 +305,35 @@ def load_reference_bd_checkpoint(path_or_dict: Any, cfg) -> dict:
             sd, "pose_model", n_layers=3
         )
         return {"params": params, "batch_stats": stats}
+    if cfg.model_kind in ("per_class_regression", "per_class_classification"):
+        # RegressionModel / ClassificationModel: one model_3layer or
+        # bin_3layer per class, label-selected
+        # (learnGeodesicRegressionModel.py:84-107,
+        # learnClassificationModel.py:84-104)
+        params["pose_models"], stats["pose_models"] = _stack_head_bank(
+            sd, "pose_models", cfg.num_classes, n_layers=3
+        )
+        return {"params": params, "batch_stats": stats}
+    if cfg.model_kind == "elhoseiny_bd":
+        # the script's inline OneDeltaPerBinModel: shared bin_3layer, one
+        # res_2layer per CLUSTER, category nn.Linear
+        # (learnElhoseinyBDModel.py:87-110)
+        params["bin_model"], stats["bin_model"] = _shared_head(
+            sd, "bin_model", n_layers=3
+        )
+        params["res_models"], stats["res_models"] = _stack_head_bank(
+            sd, "res_models", cfg.dict_size, n_layers=2
+        )
+        params["category_model"] = _plain_linear(sd, "category_model")
+        return {"params": params, "batch_stats": stats}
+    if cfg.model_kind == "elhoseiny_reg":
+        # ElhoseinyModel: shared model_3layer pose head (pi*tanh applied in
+        # forward) + category nn.Linear (learnElhoseinyRegressionModel.py:74-91)
+        params["pose_model"], stats["pose_model"] = _shared_head(
+            sd, "pose_model", n_layers=3
+        )
+        params["category_model"] = _plain_linear(sd, "category_model")
+        return {"params": params, "batch_stats": stats}
     if cfg.model_kind == "joint_reg_v3":
         # JointCatPoseModel over a regression oracle: per-class pose bank +
         # category fc (learnJointCatPoseModel3_top1.py:96-118)

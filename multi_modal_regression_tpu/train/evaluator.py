@@ -147,6 +147,7 @@ class SnapshotEnsembleEvaluator:
                     and cfg.bn_per_stream
                     and not cfg.frozen_bn
                 ),
+                dual_loss_sum=cfg.loss_stream_sum,
             ),
             donate_argnums=(0,),
         )

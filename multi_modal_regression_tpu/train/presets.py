@@ -91,6 +91,11 @@ class ExperimentConfig:
     # (learnGeodesicBDModel.py:116-121). Single-loader runs are unaffected.
     # False = one forward over the concatenated batch (shared BN stats).
     bn_per_stream: bool = True
+    # the regression/classification/ablation scripts compute each stream's
+    # loss separately and SUM them (loss_real + loss_render,
+    # learnGeodesicRegressionModel.py:138) — on equal halves exactly a
+    # factor-2 scale vs the concat mean; applied by the dual-stream step
+    loss_stream_sum: bool = False
     # optimization (reference defaults: learnGeodesicBDModel.py:41-42,96)
     init_lr: float = 1e-4
     # per-epoch LR decay applied before each MAIN epoch, mirroring the
@@ -490,24 +495,28 @@ PRESETS: dict[str, dict] = {
     "relaxed_bd": dict(
         model_kind="one_bin_delta", problem="relaxed_kmeans",
         epoch_lr_decay="step",  # ablationXBDModel.py:96,218
+        loss_stream_sum=True,  # loss_real + loss_render, ablationXBDModel.py:120
     ),
     # learnClassificationModel.py (dict_size=100) / _new.py (200)
     "classification": dict(
         model_kind="per_class_classification", problem="classification",
         dict_size=100, num_warmup_epochs=0,
         epoch_lr_decay="step",  # learnClassificationModel.py:94,167
+        loss_stream_sum=True,  # loss_real + loss_render, learnClassificationModel.py:118
     ),
     # learnGeodesicRegressionModel.py (--nonlinearity valid)
     "geodesic_regression": dict(
         model_kind="per_class_regression", problem="regression",
         nonlinearity="pi_tanh",
         epoch_lr_decay="step",  # learnGeodesicRegressionModel.py:114,234
+        loss_stream_sum=True,  # loss_real + loss_render, learnGeodesicRegressionModel.py:138,178
     ),
     # learnGeodesicRegression_quaternion.py
     "geodesic_regression_quaternion": dict(
         model_kind="per_class_regression", problem="regression_quat",
         ndim=4, nonlinearity="quat",
         epoch_lr_decay="step",  # learnGeodesicRegression_quaternion.py:99
+        loss_stream_sum=True,  # loss_real + loss_render, learnGeodesicRegression_quaternion.py:123,163
     ),
     # learnIndependentRegressionModel.py
     "independent_regression": dict(
@@ -639,12 +648,14 @@ PRESETS: dict[str, dict] = {
     "ablation_geodesic_bd": dict(
         model_kind="one_bin_delta", problem="geodesic", self_balance=False,
         epoch_lr_decay="step",  # ablationGeodesicBDModel.py:95,217
+        loss_stream_sum=True,  # loss_real + loss_render, ablationGeodesicBDModel.py:117
     ),
     # ablationXBDModel.py — relaxed soft bins with data-driven gamma
     # (get_gamma over the dictionary, ablationXBDModel.py:61-62)
     "ablation_xbd": dict(
         model_kind="one_bin_delta", problem="relaxed_kmeans", gamma=None,
         epoch_lr_decay="step",  # ablationXBDModel.py:96,218
+        loss_stream_sum=True,  # loss_real + loss_render, ablationXBDModel.py:120
     ),
     # ablationGBDAugmentation.py — same objective; the augmented-vs-render
     # data selection is the loader choice (--type real/render/both)
@@ -657,6 +668,7 @@ PRESETS: dict[str, dict] = {
         model_kind="per_class_classification", problem="classification",
         num_warmup_epochs=0,
         epoch_lr_decay="step",  # ablationDictionarySizeC0.py:97,168
+        loss_stream_sum=True,  # loss_real + loss_render, ablationDictionarySizeC0.py:120
     ),
 }
 

@@ -380,7 +380,12 @@ def make_problem(
 
     if name == "log_euclidean":
         C = jnp.asarray(centers, jnp.float32)
-        key_R = exp_so3(C)
+        # key rotations precomputed once at build time, mirroring the
+        # reference's startup `rotations_dict = np.stack([get_R(c) ...])`
+        # (learnLogEuclideanModel.py:58 — numpy doubles there); fed through
+        # f64 so the x64 parity harness gets full-precision keys (a no-op
+        # for normal f32 runs, where jnp folds the input back to f32)
+        key_R = jnp.asarray(np.asarray(exp_so3(np.asarray(centers, np.float64))))
 
         def targets(y):
             bins, _ = hard_bin_targets(y, C)

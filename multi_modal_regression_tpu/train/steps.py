@@ -67,6 +67,7 @@ def make_train_step(
     remat: str | None = None,
     frozen_bn: bool = False,
     dual_stream_bn: bool = False,
+    dual_loss_sum: bool = False,
 ):
     """Build a jit-able train step for (model, problem, optimizer, phase).
 
@@ -79,6 +80,16 @@ def make_train_step(
     render — and the losses still see the concatenated outputs, like the
     reference's torch.cat before the loss (:122-127). Off (default) the
     whole batch shares one forward — the single-loader semantics.
+
+    dual_loss_sum=True models the scripts that compute each stream's loss
+    separately and SUM them (`loss = loss_real + loss_render`,
+    learnGeodesicRegressionModel.py:138,178; the classification and
+    ablation families do the same) instead of one loss over the concat.
+    With equal halves every mean-reduced criterion satisfies
+    mean(real) + mean(render) == 2 * mean(concat), so the exact
+    transformation is a factor-2 scale on (loss, lc, lr). Only meaningful
+    together with dual_stream_bn (the same scripts are two-forward); all
+    of them run fixed weights, so it composes with balance=None only.
 
     frozen_bn=True runs the forward in EVAL BatchNorm mode (running
     statistics, no batch-stat computation or update) while still training
@@ -108,6 +119,12 @@ def make_train_step(
         loss_pair, balance = problem.main_losses, problem.main_balance
     else:
         raise ValueError(f"phase must be warmup|main, got {phase!r}")
+    loss_scale = 2.0 if (dual_stream_bn and dual_loss_sum) else 1.0
+    if dual_loss_sum and balance is not None:
+        raise ValueError(
+            "dual_loss_sum models fixed-weight stream-sum scripts; none of "
+            "them self-balance (balance must be None)"
+        )
     from multi_modal_regression_tpu.train.remat import remat_policy
 
     policy = remat_policy(remat)
@@ -173,6 +190,9 @@ def make_train_step(
                 new_bs = mutated["batch_stats"]
             lc, lr = loss_pair(outputs, tg)
             if balance is None:
+                # loss_scale = 2 models the stream-sum scripts'
+                # loss_real + loss_render (== 2 * concat mean)
+                lc, lr = loss_scale * lc, loss_scale * lr
                 loss = lc + alpha * lr
                 s_next = state.s
             else:

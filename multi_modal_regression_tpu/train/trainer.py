@@ -145,6 +145,7 @@ class Trainer:
                     phase=phase,
                     alpha=cfg.alpha if phase == "main" else cfg.warmup_alpha,
                     dual_stream_bn=True,
+                    dual_loss_sum=cfg.loss_stream_sum,
                     **self._step_kwargs,
                 ),
                 donate_argnums=(0,),

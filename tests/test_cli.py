@@ -114,6 +114,67 @@ def test_train_and_evaluate(data_root, dictionary_file, tmp_path):
     assert snaps
 
 
+def test_class_subset_pipeline_finite_losses(tmp_path):
+    """--num-classes N without --dbinfo means the FIRST N PASCAL3D+ classes
+    end to end: prepare-data honors --classes, dictionary/train agree on
+    the same subset, and every logged train loss is FINITE. Regression
+    test for a real bug a verify drive found: the train CLI used to index
+    the full 12-class list regardless of --num-classes, so labels 4..11
+    gathered out of the 4-head bank and the fill semantics turned every
+    loss NaN (silently — the run completed)."""
+    root = tmp_path / "data"
+    rc = main([
+        "prepare-data", "--out", str(root),
+        "--classes", "aeroplane,bicycle,boat,bottle",
+        "--images-per-class", "5", "--image-size", "32",
+    ])
+    assert rc == 0
+    import os
+
+    assert sorted(os.listdir(root / "augmented2")) == [
+        "aeroplane", "bicycle", "boat", "bottle"
+    ]
+    dict_file = tmp_path / "kmeans.npz"
+    rc = main([
+        "dictionary", "--type", "kmeans",
+        "--data-root", str(root / "renderforcnn"),
+        "--size", "4", "--num-classes", "4", "--out", str(dict_file),
+    ])
+    assert rc == 0
+    workdir = tmp_path / "run"
+    rc = main([
+        "train", "--preset", "geodesic_regression",
+        "--data-root", str(root),
+        "--dictionary", str(dict_file),
+        "--num-classes", "4",
+        "--workdir", str(workdir),
+        *TINY_OVERRIDES,
+    ])
+    assert rc == 0
+    records = [
+        json.loads(line)
+        for line in (workdir / "metrics.jsonl").read_text().splitlines()
+    ]
+    losses = [r["loss"] for r in records if "loss" in r]
+    assert losses and all(np.isfinite(losses))
+
+
+def test_num_classes_dbinfo_mismatch_is_loud(tmp_path, pascal3d_release):
+    """--dbinfo naming a different class count than --num-classes must be
+    a clear CLI error, not NaN training (the index's labels have to match
+    the per-class head bank exactly)."""
+    _, _, out = pascal3d_release
+    with pytest.raises(SystemExit):
+        main([
+            "train", "--preset", "geodesic_regression",
+            "--data-root", str(out),
+            "--dbinfo", str(out / "dbinfo.mat"),
+            "--num-classes", "2",
+            "--workdir", str(tmp_path / "run"),
+            *TINY_OVERRIDES,
+        ])
+
+
 def test_train_warm_start_classifier(data_root, dictionary_file, tmp_path):
     """The rene protocol: train a classifier, then warm-start a BD model's
     bin branch from it (learnSimpleBDModel_rene.py:89-130)."""

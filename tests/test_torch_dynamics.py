@@ -1650,6 +1650,513 @@ def test_simple_rene_dynamics_match_reference(ref_modules, centers, batches):
     ) < 1e-4
 
 
+def _make_torch_per_class_regression():
+    """The reference's per-class regression model assembled from its own
+    poseModels.model_3layer heads — one per class, selected by the TRUE
+    label via one-hot bmm, pi*tanh after selection
+    (learnGeodesicRegressionModel.py:84-107)."""
+    import poseModels
+
+    class _TorchPerClassRegression(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.num_classes = C
+            self.feature_model = TorchResNet18Features()
+            self.pose_models = nn.ModuleList(
+                [poseModels.model_3layer(N0, N1, N2, NDIM) for _ in range(C)]
+            )
+
+        def forward(self, x, label):
+            x = self.feature_model(x)
+            x = torch.stack(
+                [self.pose_models[i](x) for i in range(self.num_classes)]
+            ).permute(1, 2, 0)
+            onehot = torch.zeros(label.size(0), self.num_classes).scatter_(
+                1, label.data.cpu(), 1.0
+            )
+            y = torch.squeeze(torch.bmm(x, onehot.unsqueeze(2)), 2)
+            return float(np.pi) * torch.tanh(y)
+
+    return _TorchPerClassRegression()
+
+
+def test_geodesic_regression_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """learnGeodesicRegressionModel.py:84-245 executed head-to-head with the
+    compiled geodesic_regression Trainer step, AT f64 with uniform 1e-6
+    per-step bounds (at f32 the tanh-saturated per-class heads amplify
+    reduction-order noise past 5% by the last steps — measured 6.0% at the
+    final step — so the f64 run is the discriminating one). This loop is
+    the reference's most idiosyncratic combination, each leg certified:
+    (1) STREAM-SUM losses — `loss = loss_real + loss_render` with each
+    stream's mean computed separately (:132-138), exactly 2x the concat
+    mean on equal halves (cfg.loss_stream_sum through the dual-stream
+    step); (2) per-stream forwards (dual_stream_bn); (3) the live
+    StepLR(1, 0.1) stepped before each main epoch (:114,234 — torch's own
+    scheduler here vs apply_epoch_lr); (4) per-class model_3layer
+    regression heads selected by the TRUE label with pi*tanh applied after
+    selection (:96-105), pure-regression phases MSE -> geodesic with no
+    self-balance."""
+    _, axisAngle, _, _ = ref_modules
+    _torch_seed_all(16)
+    model = _make_torch_per_class_regression().double()
+
+    cfg = get_config(
+        "geodesic_regression",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.loss_stream_sum and cfg.bn_per_stream
+    assert cfg.epoch_lr_decay == "step" and cfg.nonlinearity == "pi_tanh"
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches = _f64_batches(batches, centers)
+
+    # --- jax side: warmup at factor(0)=1, then StepLR -> main at 0.1x
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("warmup", dual_stream=True)
+    for i in range(N_WARMUP):
+        b = trainer.shard_batch(batches[i % len(batches)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    state = trainer.apply_epoch_lr(state, 0)  # scheduler.step() (:234)
+    assert float(
+        state.opt_state.hyperparams["learning_rate"]
+    ) == pytest.approx(cfg.init_lr * 0.1)
+    step = trainer.train_step_fn("main", dual_stream=True)
+    for i in range(N_MAIN):
+        b = trainer.shard_batch(batches[i % len(batches)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: training_init (MSE) -> scheduler.step -> training (gve)
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.1)
+    mse = nn.MSELoss()
+    gve = axisAngle.geodesic_loss()
+    n = B // 2
+    traj_ref = []
+    model.train()
+    for phase, crit, n_steps in (("init", mse, N_WARMUP), ("main", gve, N_MAIN)):
+        if phase == "main":
+            sched.step()  # before training() (learnGeodesicRegressionModel.py:234)
+            assert opt.param_groups[0]["lr"] == pytest.approx(cfg.init_lr * 0.1)
+        for i in range(n_steps):
+            b = batches[i % len(batches)]
+            out_r = model(b["x_t"][:n], b["label_t"][:n])
+            out_s = model(b["x_t"][n:], b["label_t"][n:])
+            loss = crit(out_r, b["y_t"][:n]) + crit(out_s, b["y_t"][n:])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            traj_ref.append(
+                dict(loss=loss.item(), lc=0.0, lr=loss.item(), s=0.0)
+            )
+
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"regression x64 step {t} metric '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final.params, final_ref["params"]) < 1e-8
+    for a, b in zip(
+        jax.tree.leaves(final.batch_stats),
+        jax.tree.leaves(final_ref["batch_stats"]),
+    ):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-8, (
+            "per-stream BN running stats diverged at f64"
+        )
+
+
+def test_log_euclidean_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """learnLogEuclideanModel.py:103-205 executed head-to-head at f64 with
+    uniform 1e-6 per-step bounds. The reference's most host-entangled hot
+    loop: every step it argmaxes the CONCAT bin scores on device, ships
+    them to host, and rebuilds the regression target per sample in a numpy
+    double loop — `get_y(rotations_dict[pred_bin].T @ get_R(y))`, the
+    tangent residual at the PREDICTED bin (:103-134). The compiled step
+    computes all K per-bin residuals in-graph (per_bin_tangent_residuals)
+    and gathers at the argmax — zero host syncs. Also certified: the
+    single-phase protocol (no warmup loop, s never reset, :98-111), the
+    simple balance form Lc + 0.5*e^(-2s)*Lr + s with s' = 0.5*log(Lr)
+    (:135,140) on an output-dependent Lr, and per-stream BN forwards with
+    the loss on the concat (:114-133). At f64 the argmax is safe: the
+    frameworks' scores agree to ~1e-13 so a bin flip would need a tie at
+    that margin."""
+    binDeltaModels, axisAngle, _, _ = ref_modules
+    _torch_seed_all(17)
+    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    model.feature_model = TorchResNet18Features()
+    model = model.double()
+
+    cfg = get_config(
+        "log_euclidean_bd",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, dict_size=K, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.num_warmup_epochs == 0 and cfg.bn_per_stream
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches64 = _f64_batches(batches, centers)
+    n_steps = N_WARMUP + N_MAIN
+
+    # --- jax side: ONE phase end to end (the script has a single loop)
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    step = trainer.train_step_fn("main", dual_stream=True)
+    traj_jax = []
+    for i in range(n_steps):
+        b = trainer.shard_batch(batches64[i % len(batches64)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: the reference loop verbatim, incl. its host numpy
+    # rotations_dict precompute and per-step get_residuals double loop
+    rotations_dict = np.stack(
+        [axisAngle.get_R(centers[k].astype(np.float64)) for k in range(K)]
+    )
+
+    def get_residuals(ydata, ydata_bin):  # learnLogEuclideanModel.py:102-107
+        ydata_res = np.zeros((ydata.shape[0], 3))
+        for i in range(ydata.shape[0]):
+            ydata_res[i, :] = axisAngle.get_y(
+                np.dot(rotations_dict[ydata_bin[i]].T, axisAngle.get_R(ydata[i]))
+            )
+        return ydata_res
+
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    ce, mse_l = nn.CrossEntropyLoss(), nn.MSELoss()
+    n = B // 2
+    s = 0.0
+    traj_ref = []
+    model.train()
+    for i in range(n_steps):
+        b = batches64[i % len(batches64)]
+        out_r = model(b["x_t"][:n], b["label_t"][:n])
+        out_s = model(b["x_t"][n:], b["label_t"][n:])
+        out_bin = torch.cat([out_r[0], out_s[0]])
+        out_res = torch.cat([out_r[1], out_s[1]])
+        Lc = ce(out_bin, b["bins_t"])
+        bins_pred = torch.argmax(out_bin, dim=1).numpy()
+        res_true = torch.from_numpy(
+            get_residuals(b["y_t"].numpy(), bins_pred)
+        )
+        Lr = mse_l(out_res, res_true)
+        loss = Lc + 0.5 * math.exp(-2 * s) * Lr + s
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        s = 0.5 * math.log(Lr.item())
+        traj_ref.append(dict(loss=loss.item(), lc=Lc.item(), lr=Lr.item(), s=s))
+
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"log_euclidean x64 step {t} metric '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final.params, final_ref["params"]) < 1e-8
+    for a, b in zip(
+        jax.tree.leaves(final.batch_stats),
+        jax.tree.leaves(final_ref["batch_stats"]),
+    ):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-8, (
+            "per-stream BN running stats diverged at f64"
+        )
+
+
+def test_elhoseiny_bd_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """learnElhoseinyBDModel.py:87-283 executed head-to-head at f64 with
+    uniform 1e-6 per-step bounds. The multi-task single-stage baseline's
+    idiosyncrasies, each certified by measurement: (1) the category CE is
+    computed on the REAL stream ONLY (`ce_loss(output_real[0],
+    label_real)`, :146,203) while bin/residual losses see the concat — the
+    is_real row mask through masked_cross_entropy; (2) the class-agnostic
+    model takes NO label: shared bin_3layer, one res_2layer per CLUSTER
+    with the delta argmax-selected inside the forward (:94-109), category
+    nn.Linear; (3) fixed weights Lc_cat + Lc + Lr in warmup then
+    0.1*Lc_cat + Lc + 10*Lr in main (:150,206); (4) the live StepLR(1,0.1)
+    stepped before each main epoch (:116,277); (5) warmup regresses the
+    argmax-SELECTED delta against the TRUE-bin residual target (:147-149).
+    Also certifies the elhoseiny_bd checkpoint conversion
+    (load_reference_bd_checkpoint) both ways."""
+    binDeltaModels, axisAngle, _, _ = ref_modules
+    _torch_seed_all(18)
+
+    class _TorchElhoseinyBD(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.num_clusters = K
+            self.ndim = NDIM
+            self.feature_model = TorchResNet18Features()
+            self.bin_model = binDeltaModels.bin_3layer(N0, N1, N2, K)
+            self.res_models = nn.ModuleList(
+                [binDeltaModels.res_2layer(N0, N3, NDIM) for _ in range(K)]
+            )
+            self.category_model = nn.Linear(N0, C)
+
+        def forward(self, x):  # learnElhoseinyBDModel.py:98-109
+            x = self.feature_model(x)
+            y0 = self.category_model(x)
+            y1 = self.bin_model(x)
+            y2 = torch.stack(
+                [self.res_models[i](x) for i in range(self.num_clusters)]
+            )
+            y2 = y2.view(self.num_clusters, -1, self.ndim).permute(1, 2, 0)
+            pose_label = torch.argmax(y1, dim=1, keepdim=True)
+            pose_label = torch.zeros(
+                pose_label.size(0), self.num_clusters
+            ).scatter_(1, pose_label.data.cpu(), 1.0)
+            y2 = torch.squeeze(torch.bmm(y2, pose_label.unsqueeze(2)), 2)
+            return [y0, y1, y2]
+
+    model = _TorchElhoseinyBD().double()
+
+    cfg = get_config(
+        "elhoseiny_bd",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, N3=N3, dict_size=K, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.alpha == 10.0 and cfg.warmup_alpha == 1.0
+    assert cfg.epoch_lr_decay == "step" and cfg.bn_per_stream
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches64 = _f64_batches(batches, centers)
+    is_real = np.arange(B) < B // 2  # _interleave layout: real half first
+
+    # --- jax side: warmup -> StepLR -> main through the Trainer steps
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("warmup", dual_stream=True)
+    for i in range(N_WARMUP):
+        b = {**batches64[i % len(batches64)]["jax"], "is_real": is_real}
+        state, metrics = step(state, trainer.shard_batch(b))
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    state = trainer.apply_epoch_lr(state, 0)  # scheduler.step() (:277)
+    step = trainer.train_step_fn("main", dual_stream=True)
+    for i in range(N_MAIN):
+        b = {**batches64[i % len(batches64)]["jax"], "is_real": is_real}
+        state, metrics = step(state, trainer.shard_batch(b))
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: the reference loop verbatim
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.1)
+    ce, mse_l = nn.CrossEntropyLoss(), nn.MSELoss()
+    gve = axisAngle.geodesic_loss()
+    centers_t = torch.from_numpy(centers.astype(np.float64))
+    n = B // 2
+    traj_ref = []
+    model.train()
+    for phase, n_steps in (("init", N_WARMUP), ("main", N_MAIN)):
+        if phase == "main":
+            sched.step()  # learnElhoseinyBDModel.py:277
+        for i in range(n_steps):
+            b = batches64[i % len(batches64)]
+            out_r = model(b["x_t"][:n])
+            out_s = model(b["x_t"][n:])
+            out_bin = torch.cat([out_r[1], out_s[1]])
+            out_res = torch.cat([out_r[2], out_s[2]])
+            Lc_cat = ce(out_r[0], b["label_t"][:n].squeeze())
+            Lc = ce(out_bin, b["bins_t"])
+            if phase == "init":
+                Lr = mse_l(out_res, b["res_t"])
+                loss = Lc_cat + Lc + Lr
+                lc_log = Lc_cat + Lc
+            else:
+                ind = torch.argmax(out_bin, dim=1)
+                ypred = torch.index_select(centers_t, 0, ind) + out_res
+                Lr = gve(ypred, b["y_t"])
+                loss = 0.1 * Lc_cat + Lc + 10 * Lr
+                lc_log = 0.1 * Lc_cat + Lc
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            traj_ref.append(
+                dict(loss=loss.item(), lc=lc_log.item(), lr=Lr.item(), s=0.0)
+            )
+
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"elhoseiny x64 step {t} metric '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final.params, final_ref["params"]) < 1e-8
+    for a, b in zip(
+        jax.tree.leaves(final.batch_stats),
+        jax.tree.leaves(final_ref["batch_stats"]),
+    ):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-8, (
+            "per-stream BN running stats diverged at f64"
+        )
+
+
+def test_eval_protocol_regression_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """evaluateGeodesicRegressionModel.py:84-260 head-to-head at f64: the
+    evaluation protocol for the STREAM-SUM dual-loader family through the
+    real SnapshotEnsembleEvaluator. The reference fine-tunes with its own
+    embedded mySGD copy (:84-171 — the helperFunctions.py:62-120 optimizer
+    verbatim) and sums the two streams' geodesic losses separately
+    (`loss = loss_real + loss_render`, :199), snapshotting at every LR
+    minimum (`count % c == c/2`, :211). Certifies the evaluator's
+    dual_loss_sum wiring (cfg.loss_stream_sum through the compiled
+    fine-tune step), per-stream BN in the fine-tune, the cyclical schedule,
+    and the regression decode + MedErr chain — every step and every
+    snapshot at 1e-6 (smooth losses, no argmax anywhere)."""
+    _, axisAngle, helperFunctions, _ = ref_modules
+    _torch_seed_all(19)
+    model = _make_torch_per_class_regression().double()
+
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        get_config(
+            "geodesic_regression",
+            num_classes=C, feature_network="resnet18",
+            N0=N0, N1=N1, N2=N2, image_size=SIZE,
+            compute_dtype="float64", optimizer_dtype="float32",
+        ),
+        eval_alpha1=EVAL_A1, eval_alpha2=EVAL_A2, max_iterations=0,
+    )
+    assert cfg.loss_stream_sum and cfg.bn_per_stream and not cfg.frozen_bn
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches64 = _f64_batches(batches, centers)
+    half = B // 2
+
+    # --- jax side: the real evaluator over dual loaders of half-batches
+    # (_interleave re-concats them into the torch loop's real|render layout)
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    from multi_modal_regression_tpu.train.evaluator import (
+        SnapshotEnsembleEvaluator,
+    )
+
+    ev = SnapshotEnsembleEvaluator(trainer, cycle_len=EVAL_C, record_history=True)
+    real = [
+        {k: v[:half] for k, v in batches64[i % len(batches64)]["jax"].items()}
+        for i in range(N_EVAL_STEPS)
+    ]
+    render = [
+        {k: v[half:] for k, v in batches64[i % len(batches64)]["jax"].items()}
+        for i in range(N_EVAL_STEPS)
+    ]
+    test = [{**b["jax"], "valid": np.ones(B, bool)} for b in batches64]
+    ev.run(
+        state, _ListLoader(real), _ListLoader(render), _ListLoader(test),
+        num_epochs=1,
+    )
+
+    # --- torch side: mySGD + stream-sum geodesic + snapshot testing()
+    opt = helperFunctions.mySGD(
+        model.parameters(), c=EVAL_C, alpha1=EVAL_A1, alpha2=EVAL_A2
+    )
+    gve = axisAngle.geodesic_loss()
+    traj_ref, snaps_ref = [], []
+    model.train()
+    for i in range(N_EVAL_STEPS):
+        b = batches64[i % len(batches64)]
+        out_r = model(b["x_t"][:half], b["label_t"][:half])
+        out_s = model(b["x_t"][half:], b["label_t"][half:])
+        loss = gve(out_r, b["y_t"][:half]) + gve(out_s, b["y_t"][half:])
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        traj_ref.append(
+            dict(loss=loss.item(), lc=0.0, lr=loss.item(), s=0.0)
+        )
+        if (i + 1) % EVAL_C == EVAL_C // 2:
+            model.eval()
+            trues, preds, labels = [], [], []
+            with torch.no_grad():
+                for tb in batches64:
+                    out = model(tb["x_t"], tb["label_t"])
+                    preds.append(out.numpy().copy())
+                    trues.append(tb["y_t"].numpy())
+                    labels.append(tb["label_t"].numpy().ravel())
+            model.train()
+            ypred_np = np.concatenate(preds)
+            snaps_ref.append(
+                dict(
+                    med=float(
+                        axisAngle.get_error2(
+                            np.concatenate(trues), ypred_np,
+                            np.concatenate(labels), C,
+                        )
+                    ),
+                    ypred=ypred_np,
+                )
+            )
+
+    assert len(ev.history) == N_EVAL_STEPS
+    for t, (r, j) in enumerate(zip(traj_ref, ev.history)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"regression eval x64 step {t} metric '{k}' diverged",
+            )
+    assert len(ev.snapshots) == len(snaps_ref) == 3
+    for ours, ref in zip(ev.snapshots, snaps_ref):
+        np.testing.assert_allclose(ours.ypred, ref["ypred"], atol=1e-8)
+        np.testing.assert_allclose(
+            ours.med_err, ref["med"], rtol=1e-5, atol=1e-6
+        )
+    med, _ = ev.ensemble()
+    assert np.isfinite(med)
+
+
 def test_joint_reg_v3_conversion_and_forward_parity(ref_modules, batches):
     """The v3 wrapper (regression oracle, learnJointCatPoseModel3_top1.py:
     77-116) assembled from the reference's own poseModels.model_3layer
