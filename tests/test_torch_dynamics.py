@@ -1453,6 +1453,139 @@ def test_joint_cat_pose_dynamics_match_reference(ref_modules, centers, batches):
     assert_final_states_match(state, final_ref, cfg.init_lr)
 
 
+class _TorchJointCatPoseV1Weighted(_TorchJointCatPoseV1):
+    """The weighted variant's one-line difference: pose heads mixed by the
+    SOFTMAX of the category logits — differentiable, NOT detached, so
+    gradients flow from the pose losses back into the category fc
+    (learnJointCatPoseModel_weighted.py:108-118)."""
+
+    def forward(self, x):
+        x = self.feature_model(x)
+        y0 = self.fc(x)
+        label = torch.unsqueeze(torch.softmax(y0, dim=1), dim=2)
+        y1 = torch.stack(
+            [self.bin_models[i](x) for i in range(self.num_classes)]
+        ).permute(1, 2, 0)
+        y2 = torch.stack(
+            [self.res_models[i](x) for i in range(self.num_classes)]
+        ).permute(1, 2, 0)
+        y1 = torch.squeeze(torch.bmm(y1, label), 2)
+        y2 = torch.squeeze(torch.bmm(y2, label), 2)
+        return [y0, y1, y2]
+
+
+def test_joint_weighted_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """learnJointCatPoseModel_weighted.py:93-252 executed head-to-head at
+    f64, uniform 1e-6 per-step bounds, through the genuine dual-loader
+    two-forward protocol. Beyond the top1 test this certifies the
+    DIFFERENTIABLE mixing path: the softmax of the category logits weights
+    the per-class bin/delta banks with gradients flowing from the pose
+    losses into the category fc (class_weights 'weighted' has no
+    stop_gradient, matching the reference's un-detached softmax bmm at
+    :109-117) — a wrong detach shows up as an O(1) fc-gradient break at
+    step 0. Also under test: category CE on the REAL stream only (:175),
+    fixed 0.1/1/alpha weights (:180), and the live per-epoch LambdaLR
+    1/(1+ep) (:134-140,246)."""
+    binDeltaModels, axisAngle, _, _ = ref_modules
+    _torch_seed_all(20)
+    oracle = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    oracle.feature_model = TorchResNet18Features()
+    model = _TorchJointCatPoseV1Weighted(oracle, N0, C).double()
+
+    cfg = get_config(
+        "joint_cat_pose_weighted",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, dict_size=K, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.epoch_lr_decay == "inv" and not cfg.self_balance
+    assert cfg.alpha == 1.0 and cfg.bn_per_stream
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches64 = _f64_batches(batches, centers)
+    n = B // 2
+    is_real = np.arange(B) < n
+    n_epochs, steps_per_epoch = 2, 3
+
+    # --- jax side: dual-stream step, lr set before each epoch
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("main", dual_stream=True)
+    for ep in range(n_epochs):
+        state = trainer.apply_epoch_lr(state, ep)
+        for i in range(steps_per_epoch):
+            b = {**batches64[i % len(batches64)]["jax"], "is_real": is_real}
+            state, metrics = step(state, trainer.shard_batch(b))
+            traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: the reference loop (two forwards, LambdaLR)
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lambda ep: 1.0 / (1.0 + ep))
+    ce = nn.CrossEntropyLoss()
+    gve = axisAngle.geodesic_loss()
+    centers_t = torch.from_numpy(centers.astype(np.float64))
+    traj_ref = []
+    model.train()
+    for ep in range(n_epochs):
+        sched.step()  # before training() (learnJointCatPoseModel_weighted.py:246)
+        for i in range(steps_per_epoch):
+            b = batches64[i % len(batches64)]
+            out_r = model(b["x_t"][:n])
+            out_s = model(b["x_t"][n:])
+            out_bin = torch.cat([out_r[1], out_s[1]])
+            out_res = torch.cat([out_r[2], out_s[2]])
+            Lc_cat = ce(out_r[0], b["label_t"][:n, 0])
+            Lc_pose = ce(out_bin, b["bins_t"])
+            ind = torch.argmax(out_bin, dim=1)
+            y = torch.index_select(centers_t, 0, ind) + out_res
+            Lr = gve(y, b["y_t"])
+            loss = 0.1 * Lc_cat + Lc_pose + Lr
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            traj_ref.append(
+                dict(
+                    loss=loss.item(),
+                    lc=0.1 * Lc_cat.item() + Lc_pose.item(),
+                    lr=Lr.item(),
+                    s=0.0,
+                )
+            )
+
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"joint weighted x64 step {t} metric '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final.params, final_ref["params"]) < 1e-8
+    for a, b in zip(
+        jax.tree.leaves(final.batch_stats),
+        jax.tree.leaves(final_ref["batch_stats"]),
+    ):
+        # 1e-7 (not the single-selector tests' 1e-8): the softmax mixing
+        # makes every head bank's forward depend on ALL parameters each
+        # step, so f64 reduction-order noise couples through 12 sequential
+        # EMA updates — measured max ~1e-8 here vs ~1e-9 for top1/oracle
+        # tests; a semantic break (wrong mode, wrong chain order) is 1e-2+
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-7, (
+            "per-stream BN running stats diverged at f64"
+        )
+
+
 def test_cat_given_pose_dynamics_match_reference(ref_modules, centers, batches):
     """learnCatGivenPoseModel.py:88-204 executed head-to-head: the category
     fc trained over a FROZEN bin-delta oracle. The reference freezes with
@@ -2155,6 +2288,119 @@ def test_eval_protocol_regression_dynamics_x64_strict(
         )
     med, _ = ev.ensemble()
     assert np.isfinite(med)
+
+
+def test_classification_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """learnClassificationModel.py:71-180 executed head-to-head at f64,
+    uniform 1e-6 every step. Certifies the lc-side of the stream-sum
+    protocol (the geodesic_regression test scales lr; here the CE is the
+    whole loss: `loss = CE(real) + CE(render)` at :118 == 2x the concat
+    mean through cfg.loss_stream_sum), the per-class bin_3layer heads
+    selected by the TRUE label, the single-phase protocol (no warmup
+    loop), and the live StepLR(1, 0.1) stepped before EVERY epoch — so
+    even the first training epoch runs at 0.1x lr (:94,167)."""
+    bdm, axisAngle, _, _ = ref_modules
+    _torch_seed_all(21)
+
+    class _TorchPerClassClassification(nn.Module):
+        def __init__(self):  # learnClassificationModel.py:71-85
+            super().__init__()
+            self.num_classes = C
+            self.feature_model = TorchResNet18Features()
+            self.pose_models = nn.ModuleList(
+                [bdm.bin_3layer(N0, N1, N2, K) for _ in range(C)]
+            )
+
+        def forward(self, x, label):
+            x = self.feature_model(x)
+            x = torch.stack(
+                [self.pose_models[i](x) for i in range(self.num_classes)]
+            ).permute(1, 2, 0)
+            onehot = torch.zeros(label.size(0), self.num_classes).scatter_(
+                1, label.data.cpu(), 1.0
+            )
+            return torch.squeeze(torch.bmm(x, onehot.unsqueeze(2)), 2)
+
+    model = _TorchPerClassClassification().double()
+
+    cfg = get_config(
+        "classification",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, dict_size=K, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.loss_stream_sum and cfg.num_warmup_epochs == 0
+    assert cfg.epoch_lr_decay == "step" and cfg.bn_per_stream
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches64 = _f64_batches(batches, centers)
+    n = B // 2
+    n_epochs, steps_per_epoch = 2, 3
+
+    # --- jax side: single-phase main, lr decayed before each epoch
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("main", dual_stream=True)
+    for ep in range(n_epochs):
+        state = trainer.apply_epoch_lr(state, ep)
+        assert float(
+            state.opt_state.hyperparams["learning_rate"]
+        ) == pytest.approx(cfg.init_lr * 0.1 ** (ep + 1))
+        for i in range(steps_per_epoch):
+            b = trainer.shard_batch(batches64[i % len(batches64)]["jax"])
+            state, metrics = step(state, b)
+            traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: the reference loop verbatim
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.1)
+    ce = nn.CrossEntropyLoss()
+    traj_ref = []
+    model.train()
+    for ep in range(n_epochs):
+        sched.step()  # before training() (learnClassificationModel.py:167)
+        assert opt.param_groups[0]["lr"] == pytest.approx(
+            cfg.init_lr * 0.1 ** (ep + 1)
+        )
+        for i in range(steps_per_epoch):
+            b = batches64[i % len(batches64)]
+            out_r = model(b["x_t"][:n], b["label_t"][:n])
+            out_s = model(b["x_t"][n:], b["label_t"][n:])
+            loss = ce(out_r, b["bins_t"][:n]) + ce(out_s, b["bins_t"][n:])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            traj_ref.append(
+                dict(loss=loss.item(), lc=loss.item(), lr=0.0, s=0.0)
+            )
+
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"classification x64 step {t} metric '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final.params, final_ref["params"]) < 1e-8
+    for a, b in zip(
+        jax.tree.leaves(final.batch_stats),
+        jax.tree.leaves(final_ref["batch_stats"]),
+    ):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-8, (
+            "per-stream BN running stats diverged at f64"
+        )
 
 
 def test_joint_reg_v3_conversion_and_forward_parity(ref_modules, batches):
