@@ -17,11 +17,21 @@ pose "oracle" and mix the per-class pose heads by the *predicted* category:
                            (learnElhoseinyRegressionModel.py)
 
 Mixing modes (`mixing` field):
-  'top1'      hard one-hot of argmax(category logits); no gradient through
-              the selection (reference scatters on CPU).
-  'top1_st'   straight-through: forward = hard one-hot, backward = softmax
-              gradient (the `Plc` trick of learnJointCatPoseModel_top1_new.py).
-  'weighted'  softmax(category logits) — a soft mixture over class heads.
+  'top1'       hard one-hot of argmax(category logits); no gradient through
+               the selection (reference scatters on CPU).
+  'joint_top1' hard one-hot of the class at the argmax of the JOINT
+               posterior Plc = softmax(bin scores) * softmax(cat logits),
+               detached; multires also takes the joint bin index — the
+               actual learnJointCatPoseModel_top1_new.py:110-130 forward.
+               (Tie caveat: the reference argmaxes a (K, C)-flattened view
+               and we a (C, K) one, so exact float ties — measure-zero —
+               could break differently.)
+  'top1_st'    straight-through: forward = hard one-hot of the cat argmax,
+               backward = softmax gradient. NOT a reference script's
+               semantics (kept as a documented extra; an earlier reading of
+               _top1_new.py before the joint_top1 audit).
+  'weighted'   softmax(category logits) — a soft mixture over class heads;
+               gradients flow into the category fc.
 
 All mixing is a single einsum over the class axis of the vectorized head
 banks — the reference's bmm-with-one-hot, kept on device.
@@ -109,31 +119,45 @@ class JointCatPoseBDModel(nn.Module):
             )
         self.fc = SharedMLP(features=(self.num_classes,), dtype=self.dtype, name="fc")
 
-    def _pose_outputs(
-        self, feat: jax.Array, w: jax.Array, train: bool
-    ) -> tuple[jax.Array, jax.Array]:
-        scores = mix_heads(self.bin_models(feat, train=train), w)  # (B, K)
+    def __call__(
+        self, x: jax.Array, train: bool = False
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        feat = self.feature_model(x, train=train)
+        cat_logits = self.fc(feat, train=train)
+        per_head = self.bin_models(feat, train=train)  # (B, C, K)
+        joint_bin = None
+        if self.mixing == "joint_top1":
+            # learnJointCatPoseModel_top1_new.py:110-118: the class (and,
+            # for multires, the bin) comes from the argmax of the JOINT
+            # posterior Plc = softmax_K(scores) * softmax_C(cat)[...,None],
+            # selected by a detached one-hot (their CPU scatter) — no
+            # gradient through the selection
+            joint = jax.nn.softmax(per_head, axis=-1) * jax.nn.softmax(
+                cat_logits, axis=-1
+            )[:, :, None]
+            flat_ind = jnp.argmax(joint.reshape(joint.shape[0], -1), axis=-1)
+            ic = flat_ind // self.num_clusters
+            joint_bin = flat_ind % self.num_clusters
+            w = jax.lax.stop_gradient(
+                jax.nn.one_hot(ic, self.num_classes, dtype=cat_logits.dtype)
+            )
+        else:
+            w = class_weights(cat_logits, self.mixing)
+        scores = mix_heads(per_head, w)  # (B, K)
         deltas = self.res_models(feat, train=train)
         if self.multires:
             b = deltas.shape[0]
             deltas = deltas.reshape(
                 b, self.num_classes, self.num_clusters, self.ndim
             )
-            # mix over classes, then pick the delta at the argmax bin
+            # mix over classes, then pick the delta at the argmax bin —
+            # joint_top1 uses the joint posterior's bin index instead
+            # (_top1_new.py:128)
             deltas = jnp.einsum("bckd,bc->bkd", deltas, w)
-            ind = jnp.argmax(scores, axis=-1)
+            ind = jnp.argmax(scores, axis=-1) if joint_bin is None else joint_bin
             residual = jnp.take_along_axis(deltas, ind[:, None, None], axis=1)[:, 0]
         else:
             residual = mix_heads(deltas, w)
-        return scores, residual
-
-    def __call__(
-        self, x: jax.Array, train: bool = False
-    ) -> tuple[jax.Array, jax.Array, jax.Array]:
-        feat = self.feature_model(x, train=train)
-        cat_logits = self.fc(feat, train=train)
-        w = class_weights(cat_logits, self.mixing)
-        scores, residual = self._pose_outputs(feat, w, train)
         return cat_logits, scores, residual
 
 

@@ -76,7 +76,7 @@ class ExperimentConfig:
     # RBF soft-bin width; None -> derived from the dictionary geometry via
     # get_gamma (the ablationXBDModel.py:61-62 protocol)
     gamma: float | None = 10.0
-    mixing: str = "top1"  # joint models: 'top1' | 'top1_st' | 'weighted'
+    mixing: str = "top1"  # joint models: 'top1' | 'joint_top1' | 'top1_st' | 'weighted'
     # restrict training to these top-level param collections (None = all),
     # e.g. ("fc",) for learnCatGivenPoseModel.py:108-126's frozen oracle
     train_only: tuple[str, ...] | None = None
@@ -536,16 +536,19 @@ PRESETS: dict[str, dict] = {
         alpha=10.0, self_balance=False,
         epoch_lr_decay="step",  # learnRenderedBDModel.py:115,234
     ),
-    # learnJointCatPoseModel_{top1,weighted}.py / _top1_new.py ('top1_st')
+    # learnJointCatPoseModel_{top1,weighted}.py / _top1_new.py ('joint_top1')
     "joint_cat_pose_top1": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v1", problem="joint_bd", mixing="top1",
         self_balance=False,
         epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel_top1.py:141,219
     ),
-    "joint_cat_pose_top1_st": dict(
+    # the _top1_new variant selects the class (and, multires, the bin) by
+    # the argmax of the JOINT posterior softmax(bins)*softmax(cat), with a
+    # detached one-hot (learnJointCatPoseModel_top1_new.py:110-130)
+    "joint_cat_pose_top1_new": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
-        model_kind="joint_bd_v1", problem="joint_bd", mixing="top1_st",
+        model_kind="joint_bd_v1", problem="joint_bd", mixing="joint_top1",
         self_balance=False,
         epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel_top1_new.py:144
     ),

@@ -1586,6 +1586,155 @@ def test_joint_weighted_dynamics_x64_strict(
         )
 
 
+class _TorchJointCatPoseV1New(_TorchJointCatPoseV1):
+    """The _top1_new wrapper's forward, verbatim semantics
+    (learnJointCatPoseModel_top1_new.py:107-130): the selecting class is
+    the argmax of the JOINT posterior Plc = softmax_K(bin scores) *
+    softmax_C(cat logits), scattered to a detached one-hot on CPU."""
+
+    def forward(self, x):
+        x = self.feature_model(x)
+        y0 = self.fc(x)
+        Pc = torch.softmax(y0, dim=1)
+        y1 = torch.stack(
+            [self.bin_models[i](x) for i in range(self.num_classes)]
+        ).permute(1, 2, 0)  # (B, K, C)
+        Pl = torch.softmax(y1, dim=1)
+        Plc = Pl * torch.unsqueeze(Pc, dim=1)
+        ind = torch.argmax(Plc.view(x.size(0), -1), dim=1, keepdim=True)
+        ic = torch.fmod(ind, self.num_classes)
+        label = torch.zeros(ic.size(0), self.num_classes).scatter_(
+            1, ic.data.cpu(), 1.0
+        )
+        label = label.unsqueeze(2)
+        y1 = torch.squeeze(torch.bmm(y1, label), 2)
+        y2 = torch.stack(
+            [self.res_models[i](x) for i in range(self.num_classes)]
+        ).permute(1, 2, 0)
+        y2 = torch.squeeze(torch.bmm(y2, label), 2)
+        return [y0, y1, y2]
+
+
+def test_joint_top1_new_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """learnJointCatPoseModel_top1_new.py:107-259 executed head-to-head at
+    f64, uniform 1e-6 per-step bounds, through the dual-loader two-forward
+    protocol. Certifies the `joint_top1` mixing built from the round-5
+    selector audit (which found this script does NOT use a straight-through
+    estimator — its one-hot comes from the argmax of the JOINT posterior
+    softmax(bins)*softmax(cat) and is detached by the CPU scatter). At f64
+    the joint argmax is safe (frameworks' posteriors agree to ~1e-13), and
+    a wrong selector source breaks Lc_pose/Lr at step 0 whenever the joint
+    argmax and the plain cat argmax disagree — with a random-init fc and
+    K=8 they disagree for most rows (verified in-test)."""
+    binDeltaModels, axisAngle, _, _ = ref_modules
+    _torch_seed_all(22)
+    oracle = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    oracle.feature_model = TorchResNet18Features()
+    model = _TorchJointCatPoseV1New(oracle, N0, C).double()
+
+    cfg = get_config(
+        "joint_cat_pose_top1_new",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, dict_size=K, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.mixing == "joint_top1" and cfg.epoch_lr_decay == "inv"
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches64 = _f64_batches(batches, centers)
+    n = B // 2
+    is_real = np.arange(B) < n
+    n_epochs, steps_per_epoch = 2, 3
+
+    # the selector must actually discriminate: with this seed the joint
+    # argmax and the plain cat argmax disagree on some rows of batch 0
+    with torch.no_grad():
+        x0 = batches64[0]["x_t"]
+        feats = model.feature_model(x0)
+        y0 = model.fc(feats)
+        y1 = torch.stack(
+            [model.bin_models[i](feats) for i in range(C)]
+        ).permute(1, 2, 0)
+        Plc = torch.softmax(y1, dim=1) * torch.softmax(y0, dim=1).unsqueeze(1)
+        ic = torch.fmod(
+            torch.argmax(Plc.view(x0.size(0), -1), dim=1), C
+        )
+        assert (ic != torch.argmax(y0, dim=1)).any(), (
+            "seed produced identical selectors; the test would not "
+            "discriminate joint_top1 from top1"
+        )
+
+    # --- jax side
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("main", dual_stream=True)
+    for ep in range(n_epochs):
+        state = trainer.apply_epoch_lr(state, ep)
+        for i in range(steps_per_epoch):
+            b = {**batches64[i % len(batches64)]["jax"], "is_real": is_real}
+            state, metrics = step(state, trainer.shard_batch(b))
+            traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lambda ep: 1.0 / (1.0 + ep))
+    ce = nn.CrossEntropyLoss()
+    gve = axisAngle.geodesic_loss()
+    centers_t = torch.from_numpy(centers.astype(np.float64))
+    traj_ref = []
+    model.train()
+    for ep in range(n_epochs):
+        sched.step()  # learnJointCatPoseModel_top1_new.py:254
+        for i in range(steps_per_epoch):
+            b = batches64[i % len(batches64)]
+            out_r = model(b["x_t"][:n])
+            out_s = model(b["x_t"][n:])
+            out_bin = torch.cat([out_r[1], out_s[1]])
+            out_res = torch.cat([out_r[2], out_s[2]])
+            Lc_cat = ce(out_r[0], b["label_t"][:n, 0])
+            Lc_pose = ce(out_bin, b["bins_t"])
+            ind = torch.argmax(out_bin, dim=1)
+            y = torch.index_select(centers_t, 0, ind) + out_res
+            Lr = gve(y, b["y_t"])
+            loss = 0.1 * Lc_cat + Lc_pose + Lr
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            traj_ref.append(
+                dict(
+                    loss=loss.item(),
+                    lc=0.1 * Lc_cat.item() + Lc_pose.item(),
+                    lr=Lr.item(),
+                    s=0.0,
+                )
+            )
+
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"joint top1_new x64 step {t} metric '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    # 1e-7 (vs the single-selector tests' 1e-8): the joint posterior
+    # couples every bin bank's softmax into the selection, so f64
+    # reduction noise compounds across banks — measured 3.6e-8 here; a
+    # wrong selector or update rule displaces params by O(lr)=1e-4
+    assert _max_abs_err(final.params, final_ref["params"]) < 1e-7
+
+
 def test_cat_given_pose_dynamics_match_reference(ref_modules, centers, batches):
     """learnCatGivenPoseModel.py:88-204 executed head-to-head: the category
     fc trained over a FROZEN bin-delta oracle. The reference freezes with

@@ -224,7 +224,7 @@ def test_preset_epoch_lr_decay_table_matches_reference_scripts():
         "ablation_c0": "step",  # ablationDictionarySizeC0.py:97,168
         # LambdaLR my_schedule = 1/(1+ep):
         "joint_cat_pose_top1": "inv",  # learnJointCatPoseModel_top1.py:141
-        "joint_cat_pose_top1_st": "inv",  # ..._top1_new.py:144
+        "joint_cat_pose_top1_new": "inv",  # ..._top1_new.py:144
         "joint_cat_pose_weighted": "inv",  # ..._weighted.py:140
         "joint_cat_pose2_top1": "inv",  # learnJointCatPoseModel2_top1.py:148
         "joint_cat_pose2_weighted": "inv",  # ..._weighted.py:147
