@@ -183,6 +183,21 @@ def _config_from_args(args) -> "object":
         and getattr(args, "dbinfo", None)
     ):
         overrides["num_classes"] = len(_classes_from_args(args))
+    if (
+        "dict_size" not in overrides
+        and getattr(args, "dictionary", None)
+    ):
+        # the reference reads num_clusters off the pickle
+        # (`num_clusters = kmeans.n_clusters`, learnGeodesicBDModel.py:59);
+        # likewise the loaded dictionary defines dict_size unless
+        # explicitly overridden — a preset-default 200-head bank against an
+        # 8-atom dictionary is a shape error (or worse, silent) downstream
+        d = _load_dictionary(args.dictionary)
+        if d is not None:
+            atoms = getattr(d, "cluster_centers", None)
+            if atoms is None:
+                atoms = d.means  # GMMDictionary
+            overrides["dict_size"] = int(len(atoms))
     return get_config(args.preset, **overrides)
 
 

@@ -11,6 +11,12 @@ def pairwise_sqeuclidean(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     Uses the expansion |x|^2 - 2<x,y> + |y|^2 so the inner product is one
     (N, K) matmul (MXU-friendly), clamped at zero against cancellation.
     """
+    # promote BEFORE squaring: with mixed inputs (f64 poses vs the f32
+    # stored dictionary under the x64 parity harness) computing |y|^2 in
+    # f32 injects 1e-7-level error into otherwise-f64 distances; a no-op
+    # for the ordinary same-dtype calls
+    dt = jnp.promote_types(x.dtype, y.dtype)
+    x, y = x.astype(dt), y.astype(dt)
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)
     y2 = jnp.sum(y * y, axis=-1, keepdims=True).T
     d = x2 - 2.0 * (x @ y.T) + y2

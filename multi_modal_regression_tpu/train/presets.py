@@ -494,6 +494,7 @@ PRESETS: dict[str, dict] = {
     # ablationXBDModel.py (RBF-relaxed soft bins)
     "relaxed_bd": dict(
         model_kind="one_bin_delta", problem="relaxed_kmeans",
+        self_balance=False,  # fixed-alpha criteria, ablationXBDModel.py:67-69
         epoch_lr_decay="step",  # ablationXBDModel.py:96,218
         loss_stream_sum=True,  # loss_real + loss_render, ablationXBDModel.py:120
     ),
@@ -657,6 +658,7 @@ PRESETS: dict[str, dict] = {
     # (get_gamma over the dictionary, ablationXBDModel.py:61-62)
     "ablation_xbd": dict(
         model_kind="one_bin_delta", problem="relaxed_kmeans", gamma=None,
+        self_balance=False,  # fixed-alpha criteria, ablationXBDModel.py:67-69
         epoch_lr_decay="step",  # ablationXBDModel.py:96,218
         loss_stream_sum=True,  # loss_real + loss_render, ablationXBDModel.py:120
     ),

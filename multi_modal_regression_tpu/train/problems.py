@@ -216,11 +216,12 @@ def make_problem(
             return cross_entropy(scores, tg["bins"]), geodesic_quat(ypred, tg["y"])
 
         def decode(out):
-            # test predictions renormalized to unit quaternions
+            # test predictions renormalized to unit quaternions, norm
+            # floored at the reference's 1e-10
             # (learnGeodesicBDModel_quaternion.py:217-218)
             q = _decode_hard(out[0], out[1], Cq)
             return q / jnp.maximum(
-                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-10
             )
 
         return Problem(name, "quaternion", targets, warmup, main, decode)
@@ -285,7 +286,10 @@ def make_problem(
             return lc, lr
 
         def decode(out):
-            # expectation decode: dict[argmax] + delta (argmax delta if multires)
+            # argmax decode: dict[argmax] + delta (the per-argmax-bin delta
+            # if multires) — the reference's LIVE test path; its
+            # softmax-expectation decode is commented out
+            # (learnProbabilisticBDModel.py:168-181)
             scores, residual = out
             ind = jnp.argmax(scores, axis=-1)
             if is_multires:
@@ -346,16 +350,20 @@ def make_problem(
                 )[:, 0]
             q = Cq[ind] + residual
             # quaternion test predictions renormalized (the quaternion
-            # evaluate convention, learnGeodesicBDModel_quaternion.py:217)
+            # evaluate convention, learnGeodesicBDModel_quaternion.py:
+            # 217-218, norm floor 1e-10)
             return q / jnp.maximum(
-                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-10
             )
 
         return Problem(name, "quaternion", targets, warmup, main, decode)
 
     if name == "riemannian":
         C = jnp.asarray(centers, jnp.float32)
-        key_R = exp_so3(C)
+        # host f64 key-rotation precompute, like the reference's startup
+        # rotations_dict (learnRiemannianBDModel.py:61); folds back to f32
+        # unless x64 is active (see log_euclidean below)
+        key_R = jnp.asarray(np.asarray(exp_so3(np.asarray(centers, np.float64))))
 
         def targets(y):
             bins, res, R = tangent_residual_targets(y, C, key_R)

@@ -2552,6 +2552,145 @@ def test_classification_dynamics_x64_strict(
         )
 
 
+def test_ablation_xbd_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode, tmp_path
+):
+    """ablationXBDModel.py:58-238 executed head-to-head at f64, uniform
+    1e-6 every step, with the loss computed by the reference's OWN
+    binDeltaLosses.SimpleRelaXedLoss / RelaXedLoss classes. Certifies the
+    relaxed (RBF soft-bin) family's full loop: (1) the data-driven gamma —
+    cfg gamma=None derives 1/(2*min nearest-atom d^2) exactly like their
+    get_gamma(kmeans_dict) (:61, helperFunctions.py:51-58), asserted equal
+    here; (2) XPBD targets soft=norm(exp(-gamma d^2)), res = y - soft@C
+    (ablationFunctions.py:146-151) computed in-graph vs their host cdist;
+    (3) torch nn.KLDivLoss's all-elements 'mean' reduction + the y*log(y)
+    term (kl_div_mean); (4) STREAM-SUM losses (`loss_real + loss_render`,
+    :117-120) through cfg.loss_stream_sum; (5) warmup
+    SimpleRelaXedLoss(KL+MSE) -> main RelaXedLoss (KL + geodesic on
+    centers[argmax]+delta) with the live StepLR(1,0.1) (:96,218)."""
+    import pickle
+
+    from sklearn.cluster import KMeans
+
+    from multi_modal_regression_tpu.dictionary.common import get_gamma
+
+    binDeltaModels, axisAngle, helperFunctions, binDeltaLosses = ref_modules
+    _torch_seed_all(23)
+    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    model.feature_model = TorchResNet18Features()
+    model = model.double()
+
+    # gamma parity: ours (dictionary.common) vs the reference's own
+    gamma = float(get_gamma(centers))
+    assert gamma == pytest.approx(
+        float(helperFunctions.get_gamma(centers.astype(np.float64))), rel=1e-12
+    )
+
+    cfg = get_config(
+        "ablation_xbd",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, dict_size=K, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.gamma is None and cfg.loss_stream_sum and cfg.bn_per_stream
+    assert cfg.epoch_lr_decay == "step" and not cfg.self_balance
+    assert cfg.alpha == 1.0 and cfg.warmup_alpha == 1.0
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches64 = _f64_batches(batches, centers)
+    n = B // 2
+
+    # --- jax side: warmup -> StepLR -> main through the dual-stream step
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("warmup", dual_stream=True)
+    for i in range(N_WARMUP):
+        b = trainer.shard_batch(batches64[i % len(batches64)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    state = trainer.apply_epoch_lr(state, 0)  # scheduler.step() (:218)
+    step = trainer.train_step_fn("main", dual_stream=True)
+    for i in range(N_MAIN):
+        b = trainer.shard_batch(batches64[i % len(batches64)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: their loss classes over their XPBD target protocol
+    kmeans_file = tmp_path / "kmeans.pkl"
+    km = KMeans(n_clusters=K, n_init=1)
+    km.cluster_centers_ = centers.copy()
+    with open(kmeans_file, "wb") as f:
+        pickle.dump(km, f)
+    crit1 = binDeltaLosses.SimpleRelaXedLoss(1.0)
+    crit2 = binDeltaLosses.RelaXedLoss(
+        1.0, str(kmeans_file), axisAngle.geodesic_loss()
+    )
+    from scipy.spatial.distance import cdist
+
+    def xpbd_targets(y):  # ablationFunctions.py:146-151, f64 host math
+        soft = np.exp(-gamma * cdist(y, centers.astype(np.float64), "sqeuclidean"))
+        soft = soft / soft.sum(axis=1, keepdims=True)
+        return (
+            torch.from_numpy(soft),
+            torch.from_numpy(y - soft @ centers.astype(np.float64)),
+        )
+
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.1)
+    traj_ref = []
+    model.train()
+    for phase, crit, n_steps in (
+        ("init", crit1, N_WARMUP), ("main", crit2, N_MAIN)
+    ):
+        if phase == "main":
+            sched.step()  # ablationXBDModel.py:218
+        for i in range(n_steps):
+            b = batches64[i % len(batches64)]
+            y_np = b["y_t"].numpy()
+            soft_r, res_r = xpbd_targets(y_np[:n])
+            soft_s, res_s = xpbd_targets(y_np[n:])
+            out_r = model(b["x_t"][:n], b["label_t"][:n])
+            out_s = model(b["x_t"][n:], b["label_t"][n:])
+            if phase == "init":
+                loss_real = crit(out_r, [soft_r, res_r])
+                loss_render = crit(out_s, [soft_s, res_s])
+            else:
+                loss_real = crit(out_r, (soft_r, b["y_t"][:n]))
+                loss_render = crit(out_s, (soft_s, b["y_t"][n:]))
+            loss = loss_real + loss_render
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            # decompose for the metric comparison (same ops the classes
+            # run; the summed class loss is asserted against lc+lr below)
+            kl = nn.KLDivLoss()
+            lc = (
+                kl(torch.log_softmax(out_r[0], dim=1), soft_r)
+                + kl(torch.log_softmax(out_s[0], dim=1), soft_s)
+            ).item()
+            lr_v = loss.item() - lc
+            traj_ref.append(dict(loss=loss.item(), lc=lc, lr=lr_v, s=0.0))
+
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"ablation_xbd x64 step {t} metric '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final.params, final_ref["params"]) < 1e-8
+
+
 def test_joint_reg_v3_conversion_and_forward_parity(ref_modules, batches):
     """The v3 wrapper (regression oracle, learnJointCatPoseModel3_top1.py:
     77-116) assembled from the reference's own poseModels.model_3layer
