@@ -267,6 +267,9 @@ def load_reference_bd_checkpoint(path_or_dict: Any, cfg) -> dict:
       OneDeltaPerBinModel ('labelconcat_delta_per_bin')
       RegressionModel     ('labelconcat_regression')
       ClassificationModel ('labelconcat_classification')
+    the class-agnostic independent/rendered inline model
+    (learnIndependentBDModel.py:88-108): shared bin head + per-cluster
+    delta bank ('independent_bd'),
     and the grafted joint cat+pose wrappers (the scripts' inline
     JointCatPoseModel over a BD / regression oracle + category nn.Linear,
     learnJointCatPoseModel_top1.py:93-130, _3_top1.py:96-118):
@@ -312,6 +315,18 @@ def load_reference_bd_checkpoint(path_or_dict: Any, cfg) -> dict:
         # learnClassificationModel.py:84-104)
         params["pose_models"], stats["pose_models"] = _stack_head_bank(
             sd, "pose_models", cfg.num_classes, n_layers=3
+        )
+        return {"params": params, "batch_stats": stats}
+    if cfg.model_kind == "independent_bd":
+        # the independent/rendered scripts' inline class-agnostic
+        # OneDeltaPerBinModel: shared bin_3layer, one res_2layer per
+        # CLUSTER, no category head (learnIndependentBDModel.py:88-108,
+        # learnRenderedBDModel.py:84-104)
+        params["bin_model"], stats["bin_model"] = _shared_head(
+            sd, "bin_model", n_layers=3
+        )
+        params["res_models"], stats["res_models"] = _stack_head_bank(
+            sd, "res_models", cfg.dict_size, n_layers=2
         )
         return {"params": params, "batch_stats": stats}
     if cfg.model_kind == "elhoseiny_bd":

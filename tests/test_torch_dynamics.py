@@ -2316,6 +2316,145 @@ def test_elhoseiny_bd_dynamics_x64_strict(
         )
 
 
+def test_independent_bd_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """learnIndependentBDModel.py:88-274 executed head-to-head at f64 with
+    uniform 1e-6 per-step bounds — covering the independent/rendered BD
+    family (learnRenderedBDModel.py:84-104 is the same inline model and
+    loop at dict_size 16). The family's semantics, each certified by
+    measurement: (1) the model is fully class-agnostic — shared bin_3layer
+    + one res_2layer per CLUSTER with the delta selected by a DETACHED
+    argmax one-hot inside the forward (:98-108); no category head, labels
+    never enter; (2) both phases cat the two streams' outputs THEN reduce
+    (`ce_loss(torch.cat(...))`, :139-145,187-195 — cat-then-reduce, NOT
+    the stream-sum protocol of the regression family, so the preset
+    leaves loss_stream_sum off) over two separate forwards (per-stream
+    train-BN statistics); (3) fixed weights with NO self-balance:
+    Lc + Lr in warmup (MSE on the argmax-selected delta vs the TRUE-bin
+    residual) then Lc + 10*Lr on the decoded geodesic in main (:145,195);
+    (4) the live StepLR(1,0.1) stepped at the TOP of each main epoch
+    (:115,255). Also certifies the independent_bd checkpoint conversion
+    (load_reference_bd_checkpoint) both ways."""
+    binDeltaModels, axisAngle, _, _ = ref_modules
+    _torch_seed_all(23)
+
+    class _TorchIndependentBD(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.num_clusters = K
+            self.ndim = NDIM
+            self.feature_model = TorchResNet18Features()
+            self.bin_model = binDeltaModels.bin_3layer(N0, N1, N2, K)
+            self.res_models = nn.ModuleList(
+                [binDeltaModels.res_2layer(N0, N3, NDIM) for _ in range(K)]
+            )
+
+        def forward(self, x):  # learnIndependentBDModel.py:98-108
+            x = self.feature_model(x)
+            y1 = self.bin_model(x)
+            y2 = torch.stack(
+                [self.res_models[i](x) for i in range(self.num_clusters)]
+            )
+            y2 = y2.view(self.num_clusters, -1, self.ndim).permute(1, 2, 0)
+            pose_label = torch.argmax(y1, dim=1, keepdim=True)
+            pose_label = torch.zeros(
+                pose_label.size(0), self.num_clusters
+            ).scatter_(1, pose_label.data.cpu(), 1.0)
+            y2 = torch.squeeze(torch.bmm(y2, pose_label.unsqueeze(2)), 2)
+            return [y1, y2]
+
+    model = _TorchIndependentBD().double()
+
+    cfg = get_config(
+        "independent_bd",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, N3=N3, dict_size=K, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.alpha == 10.0 and cfg.warmup_alpha == 1.0
+    assert not cfg.self_balance and not cfg.loss_stream_sum
+    assert cfg.epoch_lr_decay == "step" and cfg.bn_per_stream
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches64 = _f64_batches(batches, centers)
+
+    # --- jax side: warmup -> StepLR -> main through the Trainer steps
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("warmup", dual_stream=True)
+    for i in range(N_WARMUP):
+        b = trainer.shard_batch(batches64[i % len(batches64)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    state = trainer.apply_epoch_lr(state, 0)  # scheduler.step() (:255)
+    step = trainer.train_step_fn("main", dual_stream=True)
+    for i in range(N_MAIN):
+        b = trainer.shard_batch(batches64[i % len(batches64)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: the reference loop verbatim
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.1)
+    ce, mse_l = nn.CrossEntropyLoss(), nn.MSELoss()
+    gve = axisAngle.geodesic_loss()
+    centers_t = torch.from_numpy(centers.astype(np.float64))
+    n = B // 2
+    traj_ref = []
+    model.train()
+    for phase, n_steps in (("init", N_WARMUP), ("main", N_MAIN)):
+        if phase == "main":
+            sched.step()  # learnIndependentBDModel.py:255
+        for i in range(n_steps):
+            b = batches64[i % len(batches64)]
+            out_r = model(b["x_t"][:n])
+            out_s = model(b["x_t"][n:])
+            out_bin = torch.cat([out_r[0], out_s[0]])
+            out_res = torch.cat([out_r[1], out_s[1]])
+            Lc = ce(out_bin, b["bins_t"])
+            if phase == "init":  # training_init, :139-145
+                Lr = mse_l(out_res, b["res_t"])
+                loss = Lc + Lr
+            else:  # training, :187-195
+                ind = torch.argmax(out_bin, dim=1)
+                ypred = torch.index_select(centers_t, 0, ind) + out_res
+                Lr = gve(ypred, b["y_t"])
+                loss = Lc + 10 * Lr
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            traj_ref.append(
+                dict(loss=loss.item(), lc=Lc.item(), lr=Lr.item(), s=0.0)
+            )
+
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"independent x64 step {t} metric '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final.params, final_ref["params"]) < 1e-8
+    for a, b in zip(
+        jax.tree.leaves(final.batch_stats),
+        jax.tree.leaves(final_ref["batch_stats"]),
+    ):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-8, (
+            "per-stream BN running stats diverged at f64"
+        )
+
+
 def test_eval_protocol_regression_dynamics_x64_strict(
     ref_modules, centers, batches, x64_mode
 ):
