@@ -302,7 +302,10 @@ def load_reference_bd_checkpoint(path_or_dict: Any, cfg) -> dict:
         )
         return {"params": params, "batch_stats": stats}
     if cfg.model_kind in (
-        "labelconcat_regression", "labelconcat_classification"
+        "labelconcat_regression", "labelconcat_classification",
+        # class-agnostic IndependentModel: the same shared model_3layer
+        # pose head (learnIndependentRegressionModel.py:74-85)
+        "independent_regression",
     ):
         params["pose_model"], stats["pose_model"] = _shared_head(
             sd, "pose_model", n_layers=3

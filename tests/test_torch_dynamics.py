@@ -2065,6 +2065,153 @@ def test_geodesic_regression_dynamics_x64_strict(
         )
 
 
+def test_geodesic_regression_quaternion_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """learnGeodesicRegression_quaternion.py:75-238 executed head-to-head at
+    f64 with uniform 1e-6 per-step bounds — the stream-sum regression
+    template in QUATERNION space. What distinguishes it from the axis-angle
+    regression certification (and is certified here): (1) the per-class
+    heads are the reference's own quaternion.model_3layer whose
+    normalize(tanh(fc3)) unit-quaternion projection sits INSIDE each head
+    before one-hot selection (quaternion.py:101-115 — vs pi*tanh AFTER
+    selection in the axis-angle script), matching nonlinearity='quat'
+    through the einsum bank; (2) the main phase runs the reference's own
+    quaternion.geodesic_loss — 2*acos(clamp(|<q, qhat>|, -1+eps, 1-eps))
+    with ypred re-normalized inside the loss (quaternion.py:149-163) — vs
+    the in-graph geodesic_quat; (3) warmup MSE on raw unit-quaternion
+    targets from euler_to_pose('quaternion'); (4) stream-sum losses
+    (`loss_real + loss_render`, :123,163) over per-stream forwards and the
+    live StepLR(1,0.1) stepped before each main epoch (:99,224)."""
+    import quaternion as ref_quaternion  # /root/reference, via ref_modules
+
+    from multi_modal_regression_tpu.data.loader import normalize_images
+
+    _torch_seed_all(29)
+    _ = ref_modules
+
+    class _TorchPerClassQuatRegression(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.num_classes = C
+            self.feature_model = TorchResNet18Features()
+            self.pose_models = nn.ModuleList(
+                [ref_quaternion.model_3layer(N0, N1, N2) for _ in range(C)]
+            )
+
+        def forward(self, x, label):  # learnGeodesicRegression_quaternion.py:85-92
+            x = self.feature_model(x)
+            x = torch.stack(
+                [self.pose_models[i](x) for i in range(self.num_classes)]
+            ).permute(1, 2, 0)
+            onehot = torch.zeros(label.size(0), self.num_classes).scatter_(
+                1, label.data.cpu(), 1.0
+            )
+            return torch.squeeze(torch.bmm(x, onehot.unsqueeze(2)), 2)
+
+    model = _TorchPerClassQuatRegression().double()
+
+    cfg = get_config(
+        "geodesic_regression_quaternion",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.ndim == 4 and cfg.nonlinearity == "quat"
+    assert cfg.loss_stream_sum and cfg.bn_per_stream
+    assert cfg.epoch_lr_decay == "step"
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+
+    # f64 batches with QUATERNION targets from the same in-graph functions
+    # the compiled step runs (the _f64_batches recipe; the reference's own
+    # euler->R->q target chain is certified by the f32 quaternion BD test)
+    qbatches = []
+    for b in batches:
+        jb = b["jax"]
+        euler64 = jb["euler"].astype(np.float64)
+        xn64 = np.asarray(
+            normalize_images(jnp.asarray(jb["xdata"]), dtype=jnp.float64)
+        )
+        yq64 = np.asarray(
+            euler_to_pose(jnp.asarray(euler64), "quaternion")
+        )
+        qbatches.append(
+            dict(
+                jax={**jb, "euler": euler64},
+                x_t=torch.from_numpy(
+                    np.transpose(xn64, (0, 3, 1, 2))
+                ).contiguous(),
+                label_t=torch.from_numpy(jb["label"].astype(np.int64)[:, None]),
+                y_t=torch.from_numpy(yq64),
+            )
+        )
+
+    # --- jax side: warmup -> StepLR -> main through the Trainer steps
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("warmup", dual_stream=True)
+    for i in range(N_WARMUP):
+        b = trainer.shard_batch(qbatches[i % len(qbatches)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    state = trainer.apply_epoch_lr(state, 0)  # scheduler.step() (:224)
+    step = trainer.train_step_fn("main", dual_stream=True)
+    for i in range(N_MAIN):
+        b = trainer.shard_batch(qbatches[i % len(qbatches)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: training_init (MSE) -> scheduler.step -> training (gve)
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.1)
+    mse = nn.MSELoss()
+    gve = ref_quaternion.geodesic_loss()
+    n = B // 2
+    traj_ref = []
+    model.train()
+    for phase, crit, n_steps in (("init", mse, N_WARMUP), ("main", gve, N_MAIN)):
+        if phase == "main":
+            sched.step()  # learnGeodesicRegression_quaternion.py:224
+        for i in range(n_steps):
+            b = qbatches[i % len(qbatches)]
+            out_r = model(b["x_t"][:n], b["label_t"][:n])
+            out_s = model(b["x_t"][n:], b["label_t"][n:])
+            loss = crit(out_r, b["y_t"][:n]) + crit(out_s, b["y_t"][n:])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            traj_ref.append(
+                dict(loss=loss.item(), lc=0.0, lr=loss.item(), s=0.0)
+            )
+
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"quat regression x64 step {t} metric '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final.params, final_ref["params"]) < 1e-8
+    for a, b in zip(
+        jax.tree.leaves(final.batch_stats),
+        jax.tree.leaves(final_ref["batch_stats"]),
+    ):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-8, (
+            "per-stream BN running stats diverged at f64"
+        )
+
+
 def test_log_euclidean_dynamics_x64_strict(
     ref_modules, centers, batches, x64_mode
 ):
@@ -2316,6 +2463,131 @@ def test_elhoseiny_bd_dynamics_x64_strict(
         )
 
 
+def test_elhoseiny_regression_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """learnElhoseinyRegressionModel.py:74-259 executed head-to-head at f64
+    with uniform 1e-6 per-step bounds — the multi-task regression baseline.
+    Its semantics, each certified: (1) ONE shared model_3layer pose head
+    with pi*tanh applied in the forward (:82-91 — class-agnostic, the label
+    only feeds the category loss) + category nn.Linear; (2) the category CE
+    is computed on the REAL stream ONLY (`ce_loss(output_real[0],
+    label_real)`, :123,168) while the pose loss sees the torch.cat of both
+    streams (cat-then-reduce, NOT stream-sum) over two separate forwards
+    (per-stream train-BN); (3) fixed weights Lc + Lr in warmup (MSE on the
+    pose) then 0.1*Lc + Lr on the geodesic in main (:124,169) with NO
+    self-balance; (4) the live StepLR(1,0.1) stepped at the top of each
+    main epoch (:235). Also certifies the elhoseiny_reg checkpoint
+    conversion (load_reference_bd_checkpoint) both ways."""
+    _, axisAngle, _, _ = ref_modules
+    import poseModels
+
+    _torch_seed_all(27)
+
+    class _TorchElhoseinyReg(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.num_classes = C
+            self.feature_model = TorchResNet18Features()
+            self.pose_model = poseModels.model_3layer(N0, N1, N2, NDIM)
+            self.category_model = nn.Linear(N0, C)
+
+        def forward(self, x):  # learnElhoseinyRegressionModel.py:85-91
+            x = self.feature_model(x)
+            y0 = self.category_model(x)
+            y1 = float(np.pi) * torch.tanh(self.pose_model(x))
+            return [y0, y1]
+
+    model = _TorchElhoseinyReg().double()
+
+    cfg = get_config(
+        "elhoseiny_regression",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.alpha == 1.0 and cfg.warmup_alpha == 1.0
+    assert not cfg.self_balance and not cfg.loss_stream_sum
+    assert cfg.epoch_lr_decay == "step" and cfg.bn_per_stream
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches64 = _f64_batches(batches, centers)
+    is_real = np.arange(B) < B // 2  # _interleave layout: real half first
+
+    # --- jax side: warmup -> StepLR -> main through the Trainer steps
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("warmup", dual_stream=True)
+    for i in range(N_WARMUP):
+        b = {**batches64[i % len(batches64)]["jax"], "is_real": is_real}
+        state, metrics = step(state, trainer.shard_batch(b))
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    state = trainer.apply_epoch_lr(state, 0)  # scheduler.step() (:235)
+    step = trainer.train_step_fn("main", dual_stream=True)
+    for i in range(N_MAIN):
+        b = {**batches64[i % len(batches64)]["jax"], "is_real": is_real}
+        state, metrics = step(state, trainer.shard_batch(b))
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: the reference loop verbatim
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.1)
+    ce, mse_l = nn.CrossEntropyLoss(), nn.MSELoss()
+    gve = axisAngle.geodesic_loss()
+    n = B // 2
+    traj_ref = []
+    model.train()
+    for phase, n_steps in (("init", N_WARMUP), ("main", N_MAIN)):
+        if phase == "main":
+            sched.step()  # learnElhoseinyRegressionModel.py:235
+        for i in range(n_steps):
+            b = batches64[i % len(batches64)]
+            out_r = model(b["x_t"][:n])
+            out_s = model(b["x_t"][n:])
+            out_pose = torch.cat([out_r[1], out_s[1]])
+            Lc = ce(out_r[0], b["label_t"][:n].squeeze())
+            if phase == "init":  # training_init, :113-124
+                Lr = mse_l(out_pose, b["y_t"])
+                loss = Lc + Lr
+                lc_log = Lc
+            else:  # training, :158-169
+                Lr = gve(out_pose, b["y_t"])
+                loss = 0.1 * Lc + Lr
+                lc_log = 0.1 * Lc
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            traj_ref.append(
+                dict(loss=loss.item(), lc=lc_log.item(), lr=Lr.item(), s=0.0)
+            )
+
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"elhoseiny reg x64 step {t} metric '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final.params, final_ref["params"]) < 1e-8
+    for a, b in zip(
+        jax.tree.leaves(final.batch_stats),
+        jax.tree.leaves(final_ref["batch_stats"]),
+    ):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-8, (
+            "per-stream BN running stats diverged at f64"
+        )
+
+
 def test_independent_bd_dynamics_x64_strict(
     ref_modules, centers, batches, x64_mode
 ):
@@ -2443,6 +2715,117 @@ def test_independent_bd_dynamics_x64_strict(
             np.testing.assert_allclose(
                 j[k], r[k], rtol=1e-6, atol=1e-9,
                 err_msg=f"independent x64 step {t} metric '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final.params, final_ref["params"]) < 1e-8
+    for a, b in zip(
+        jax.tree.leaves(final.batch_stats),
+        jax.tree.leaves(final_ref["batch_stats"]),
+    ):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-8, (
+            "per-stream BN running stats diverged at f64"
+        )
+
+
+def test_independent_regression_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """learnIndependentRegressionModel.py:74-218 executed head-to-head at
+    f64 with uniform 1e-6 per-step bounds — the class-agnostic regression
+    baseline. Certified: (1) ONE shared model_3layer pose head with pi*tanh
+    in the forward (:74-85); labels never enter the model OR the loss;
+    (2) both phases cat the two streams' outputs THEN reduce (`mse_loss(
+    torch.cat(...))`, :112-114,150-152 — cat-then-reduce, unlike the
+    per-class regression family's stream-sum) over two separate forwards
+    (per-stream train-BN); (3) pure-regression phases MSE -> geodesic with
+    no bins and no self-balance; (4) the live StepLR(1,0.1) stepped at the
+    top of each main epoch (:92,208). Also certifies the
+    independent_regression checkpoint conversion both ways."""
+    _, axisAngle, _, _ = ref_modules
+    import poseModels
+
+    _torch_seed_all(31)
+
+    class _TorchIndependentReg(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.feature_model = TorchResNet18Features()
+            self.pose_model = poseModels.model_3layer(N0, N1, N2, NDIM)
+
+        def forward(self, x):  # learnIndependentRegressionModel.py:80-85
+            x = self.feature_model(x)
+            return float(np.pi) * torch.tanh(self.pose_model(x))
+
+    model = _TorchIndependentReg().double()
+
+    cfg = get_config(
+        "independent_regression",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.nonlinearity == "pi_tanh" and not cfg.loss_stream_sum
+    assert cfg.epoch_lr_decay == "step" and cfg.bn_per_stream
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches64 = _f64_batches(batches, centers)
+
+    # --- jax side: warmup -> StepLR -> main through the Trainer steps
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("warmup", dual_stream=True)
+    for i in range(N_WARMUP):
+        b = trainer.shard_batch(batches64[i % len(batches64)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    state = trainer.apply_epoch_lr(state, 0)  # scheduler.step() (:208)
+    step = trainer.train_step_fn("main", dual_stream=True)
+    for i in range(N_MAIN):
+        b = trainer.shard_batch(batches64[i % len(batches64)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: the reference loop verbatim
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.1)
+    mse_l = nn.MSELoss()
+    gve = axisAngle.geodesic_loss()
+    n = B // 2
+    traj_ref = []
+    model.train()
+    for phase, crit, n_steps in (
+        ("init", mse_l, N_WARMUP), ("main", gve, N_MAIN)
+    ):
+        if phase == "main":
+            sched.step()  # learnIndependentRegressionModel.py:208
+        for i in range(n_steps):
+            b = batches64[i % len(batches64)]
+            out_pose = torch.cat(
+                [model(b["x_t"][:n]), model(b["x_t"][n:])]
+            )
+            loss = crit(out_pose, b["y_t"])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            traj_ref.append(
+                dict(loss=loss.item(), lc=0.0, lr=loss.item(), s=0.0)
+            )
+
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"independent reg x64 step {t} metric '{k}' diverged",
             )
     final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
     assert _max_abs_err(final.params, final_ref["params"]) < 1e-8
