@@ -1735,6 +1735,148 @@ def test_joint_top1_new_dynamics_x64_strict(
     assert _max_abs_err(final.params, final_ref["params"]) < 1e-7
 
 
+@pytest.mark.parametrize("mixing", ["top1", "weighted"])
+def test_joint_reg_v3_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode, mixing
+):
+    """learnJointCatPoseModel3_{top1,weighted}.py:73-232 executed
+    head-to-head at f64 with uniform 1e-6 per-step bounds — the joint
+    cat+pose wrapper over the per-class REGRESSION oracle. Certified per
+    variant: (1) the forward mixes RAW per-class model_3layer outputs by
+    the category weights and applies pi*tanh AFTER the mixture
+    (:106-116 — for softmax mixing, tanh-after-mix is NOT the mix of
+    tanh'd heads, so the order is semantics, models/joint.py:279-282);
+    (2) top1 = DETACHED argmax one-hot (CPU scatter) vs weighted =
+    differentiable softmax with pose gradients flowing into the fc;
+    (3) single main-only loss 0.1*Lc_cat(REAL rows only) + geodesic on
+    the real+render concat of final poses (:155-158) with no warmup, no
+    self-balance; (4) the per-epoch LambdaLR 1/(1+ep) stepped BEFORE
+    each epoch (:127,221). Also certifies the joint_reg_v3 checkpoint
+    conversion both ways (the forward-parity test covers f32; this runs
+    the full training loop)."""
+    _, axisAngle, _, _ = ref_modules
+    import poseModels
+
+    _torch_seed_all(33 if mixing == "top1" else 34)
+
+    class _TorchJointRegV3(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.num_classes = C
+            self.feature_model = TorchResNet18Features()
+            self.pose_models = nn.ModuleList(
+                [poseModels.model_3layer(N0, N1, N2, NDIM) for _ in range(C)]
+            )
+            self.fc = nn.Linear(N0, C)
+
+        def forward(self, x):  # learnJointCatPoseModel3_*.py:106-116
+            x = self.feature_model(x)
+            y0 = self.fc(x)
+            if mixing == "top1":
+                label = torch.argmax(y0, dim=1, keepdim=True)
+                label = torch.zeros(label.size(0), self.num_classes).scatter_(
+                    1, label.data.cpu(), 1.0
+                ).unsqueeze(2)
+            else:
+                label = torch.unsqueeze(torch.softmax(y0, dim=1), dim=2)
+            y1 = torch.stack(
+                [self.pose_models[i](x) for i in range(self.num_classes)]
+            ).permute(1, 2, 0)
+            y1 = torch.squeeze(torch.bmm(y1, label), 2)
+            return [y0, float(np.pi) * torch.tanh(y1)]
+
+    model = _TorchJointRegV3().double()
+
+    cfg = get_config(
+        f"joint_cat_pose3_{mixing}",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.mixing == mixing and not cfg.self_balance
+    assert cfg.epoch_lr_decay == "inv" and cfg.num_warmup_epochs == 0
+    assert cfg.alpha == 1.0 and cfg.bn_per_stream
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches64 = _f64_batches(batches, centers)
+    n = B // 2
+    is_real = np.arange(B) < n
+    n_epochs, steps_per_epoch = 2, 3
+
+    # --- jax side: 2 main "epochs", lr set before each (factor 1/2, 1/3)
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("main", dual_stream=True)
+    for ep in range(n_epochs):
+        state = trainer.apply_epoch_lr(state, ep)
+        assert float(
+            state.opt_state.hyperparams["learning_rate"]
+        ) == pytest.approx(cfg.init_lr / (ep + 2))
+        for i in range(steps_per_epoch):
+            b = {**batches64[i % len(batches64)]["jax"], "is_real": is_real}
+            state, metrics = step(state, trainer.shard_batch(b))
+            traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: the reference loop with torch's own LambdaLR
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lambda ep: 1.0 / (1.0 + ep))
+    ce = nn.CrossEntropyLoss()
+    gve = axisAngle.geodesic_loss()
+    traj_ref = []
+    model.train()
+    for ep in range(n_epochs):
+        sched.step()  # before training() (learnJointCatPoseModel3_top1.py:221)
+        assert opt.param_groups[0]["lr"] == pytest.approx(cfg.init_lr / (ep + 2))
+        for i in range(steps_per_epoch):
+            b = batches64[i % len(batches64)]
+            out_r = model(b["x_t"][:n])
+            out_s = model(b["x_t"][n:])
+            Lc_cat = ce(out_r[0], b["label_t"][:n].squeeze())
+            y = torch.cat([out_r[1], out_s[1]])
+            Lr = gve(y, b["y_t"])
+            loss = 0.1 * Lc_cat + Lr
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            traj_ref.append(
+                dict(
+                    loss=loss.item(), lc=0.1 * Lc_cat.item(),
+                    lr=Lr.item(), s=0.0,
+                )
+            )
+
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"joint v3 {mixing} x64 step {t} '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    # every per-step metric held 1e-6 above; the param bound is an ulp
+    # accumulation allowance, a touch wider here than the 1e-8 of the other
+    # x64 tests (measured 1.4e-8 at this seed: the mixed per-class heads
+    # backprop through all C banks, ~C-fold more f64 reduction noise) —
+    # still 3 orders under the ~lr displacement of a real semantic break
+    assert _max_abs_err(final.params, final_ref["params"]) < 1e-7
+    for a, b in zip(
+        jax.tree.leaves(final.batch_stats),
+        jax.tree.leaves(final_ref["batch_stats"]),
+    ):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-8, (
+            "per-stream BN running stats diverged at f64"
+        )
+
+
 def test_cat_given_pose_dynamics_match_reference(ref_modules, centers, batches):
     """learnCatGivenPoseModel.py:88-204 executed head-to-head: the category
     fc trained over a FROZEN bin-delta oracle. The reference freezes with
