@@ -527,7 +527,8 @@ PRESETS: dict[str, dict] = {
     ),
     # learnIndependentBDModel.py (fixed weights CE+MSE -> CE+10*geodesic)
     "independent_bd": dict(
-        model_kind="independent_bd", problem="geodesic", dict_size=50,
+        model_kind="independent_bd", problem="geodesic",
+        dict_size=16,  # learnIndependentBDModel.py:33
         alpha=10.0, self_balance=False,
         epoch_lr_decay="step",  # learnIndependentBDModel.py:115,255
     ),
@@ -541,7 +542,7 @@ PRESETS: dict[str, dict] = {
     "joint_cat_pose_top1": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v1", problem="joint_bd", mixing="top1",
-        self_balance=False,
+        self_balance=False, num_epochs=50,  # learnJointCatPoseModel_top1.py:33
         epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel_top1.py:141,219
     ),
     # the _top1_new variant selects the class (and, multires, the bin) by
@@ -550,44 +551,48 @@ PRESETS: dict[str, dict] = {
     "joint_cat_pose_top1_new": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v1", problem="joint_bd", mixing="joint_top1",
-        self_balance=False,
+        self_balance=False, num_epochs=50,  # learnJointCatPoseModel_top1_new.py:34
         epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel_top1_new.py:144
     ),
     "joint_cat_pose_weighted": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v1", problem="joint_bd", mixing="weighted",
-        self_balance=False,
+        self_balance=False, num_epochs=50,  # learnJointCatPoseModel_weighted.py:34
         epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel_weighted.py:140
     ),
     # learnJointCatPoseModel2_{top1,weighted}.py (separate category layer4)
+    # NOTE the v2 scripts are the ONLY joint scripts defaulting to
+    # init_lr=1e-5 (not 1e-4) and 20 (not 50) epochs
+    # (learnJointCatPoseModel2_top1.py:35,38)
     "joint_cat_pose2_top1": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v2", problem="joint_bd", mixing="top1",
-        self_balance=False,
+        self_balance=False, num_epochs=20, init_lr=1e-5,
         epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel2_top1.py:148,226
     ),
     "joint_cat_pose2_weighted": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_bd_v2", problem="joint_bd", mixing="weighted",
-        self_balance=False,
+        self_balance=False, num_epochs=20, init_lr=1e-5,
         epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel2_weighted.py:147
     ),
     # learnJointCatPoseModel3_{top1,weighted}.py (regression oracle)
     "joint_cat_pose3_top1": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_reg_v3", problem="joint_reg", mixing="top1",
-        self_balance=False,
+        self_balance=False, num_epochs=50,  # learnJointCatPoseModel3_top1.py:31
         epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel3_top1.py:129
     ),
     "joint_cat_pose3_weighted": dict(
         num_warmup_epochs=0,  # joint scripts fine-tune an oracle: no warm-up phase
         model_kind="joint_reg_v3", problem="joint_reg", mixing="weighted",
-        self_balance=False,
+        self_balance=False, num_epochs=50,  # learnJointCatPoseModel3_weighted.py:31
         epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnJointCatPoseModel3_weighted.py:127
     ),
     # learnElhoseinyBDModel.py / learnElhoseinyRegressionModel.py
     "elhoseiny_bd": dict(
-        model_kind="elhoseiny_bd", problem="elhoseiny_bd", dict_size=50,
+        model_kind="elhoseiny_bd", problem="elhoseiny_bd",
+        dict_size=16,  # learnElhoseinyBDModel.py:33
         alpha=10.0, self_balance=False,
         epoch_lr_decay="step",  # learnElhoseinyBDModel.py:117
     ),
@@ -601,6 +606,7 @@ PRESETS: dict[str, dict] = {
     # BN runs on running stats and never updates)
     "categorization": dict(
         model_kind="categorization", problem="category", self_balance=False,
+        num_epochs=50,  # learnCategorizationModel.py:36
         train_only=("category_model",),
         frozen_bn=True,  # model.eval() through training(), learnCategorizationModel.py:66,75
         epoch_lr_decay="inv",  # LambdaLR 1/(1+ep), learnCategorizationModel.py:69,118
@@ -608,6 +614,7 @@ PRESETS: dict[str, dict] = {
     # learnCatGivenPoseModel.py — category fc trained on a FROZEN BD oracle
     "cat_given_pose": dict(
         model_kind="joint_bd_v1", problem="category", self_balance=False,
+        num_epochs=50,  # learnCatGivenPoseModel.py:33
         train_only=("fc",),
         frozen_bn=True,  # feature_model.eval() + never model.train(), learnCatGivenPoseModel.py:109-117,135
         epoch_lr_decay="inv",  # my_schedule 1/(1+ep), learnCatGivenPoseModel.py:121,127,204
@@ -615,6 +622,7 @@ PRESETS: dict[str, dict] = {
     # learnCatGivenPoseModel3.py — frozen regression oracle
     "cat_given_pose3": dict(
         model_kind="joint_reg_v3", problem="category", self_balance=False,
+        num_epochs=50,  # learnCatGivenPoseModel3.py:30
         train_only=("fc",),
         frozen_bn=True,  # feature_model.eval() + never model.train(), learnCatGivenPoseModel3.py:113-118,135
         epoch_lr_decay="inv",  # learnCatGivenPoseModel3.py:121,127,204
@@ -624,27 +632,40 @@ PRESETS: dict[str, dict] = {
     "objectnet_quat": dict(
         model_kind="labelconcat_bd", problem="objectnet_quat",
         num_classes=100, dict_size=16, ndim=4, alpha=10.0,
+        num_epochs=10,  # learnObjectnetModel.py:32
         self_balance=False, epoch_lr_decay="objectnet",
     ),
     # learnObjectnetBDModel.py (axis-angle, learned kmeans dictionary)
     "objectnet_bd": dict(
         model_kind="labelconcat_bd", problem="geodesic",
         num_classes=100, alpha=10.0, self_balance=False,
+        num_epochs=10,  # learnObjectnetBDModel.py:30
         epoch_lr_decay="objectnet",  # scheduler.step() at :190
     ),
     "objectnet_bd_multires": dict(
         model_kind="labelconcat_delta_per_bin", problem="geodesic",
+        # dict_size 16: the script builds OneDeltaPerBinModel(num_classes)
+        # with the ctor default 16 heads (:83, objectnetHelperFunctions.py:176)
+        # — runnable only with a 16-atom dictionary (--dict_size 16); the
+        # argparse default 200 would CE-index past the 16 bin scores
         num_classes=100, dict_size=16, alpha=10.0, self_balance=False,
+        num_epochs=10,
         epoch_lr_decay="objectnet",
     ),
     # learnObjectnetRegressionModel.py / learnObjectnetClassificationModel.py
+    # — NO epoch LR decay: both scripts comment their scheduler.step() out
+    # (learnObjectnetRegressionModel.py:162, learnObjectnetClassificationModel.py:145)
     "objectnet_regression": dict(
         model_kind="labelconcat_regression", problem="regression",
         num_classes=100, self_balance=False,
+        num_epochs=10,  # learnObjectnetRegressionModel.py:26
     ),
     "objectnet_classification": dict(
         model_kind="labelconcat_classification", problem="classification",
-        num_classes=100, dict_size=16, self_balance=False,
+        # dict_size 200: the script passes args.dict_size (default 200,
+        # :29) into ClassificationModel(:80), overriding the ctor's 16
+        num_classes=100, dict_size=200, self_balance=False,
+        num_epochs=10,  # learnObjectnetClassificationModel.py:28
         num_warmup_epochs=0,  # single-phase (learnObjectnetClassificationModel.py:89)
     ),
     # ablationGeodesicBDModel.py — geodesic BD evaluated on the val split
@@ -658,6 +679,7 @@ PRESETS: dict[str, dict] = {
     # (get_gamma over the dictionary, ablationXBDModel.py:61-62)
     "ablation_xbd": dict(
         model_kind="one_bin_delta", problem="relaxed_kmeans", gamma=None,
+        dict_size=100,  # ablationXBDModel.py:34 (GMM dictionary, not the usual 200)
         self_balance=False,  # fixed-alpha criteria, ablationXBDModel.py:67-69
         epoch_lr_decay="step",  # ablationXBDModel.py:96,218
         loss_stream_sum=True,  # loss_real + loss_render, ablationXBDModel.py:120
@@ -666,6 +688,7 @@ PRESETS: dict[str, dict] = {
     # data selection is the loader choice (--type real/render/both)
     "ablation_gbd_augmentation": dict(
         model_kind="one_bin_delta", problem="geodesic", self_balance=False,
+        dict_size=100,  # ablationGBDAugmentation.py:34 (not the usual 200)
         epoch_lr_decay="step",  # ablationGBDAugmentation.py:99,205
     ),
     # ablationDictionarySizeC0.py — classification-only dict-size sweep

@@ -714,3 +714,122 @@ def test_big_batch_matched_steps_converges(tmp_path_factory):
     # least as converged (generous band for eval noise at this scale)
     assert meds[16] <= meds[2] + 10.0, meds
     assert meds[16] < 110.0, meds  # and learning actually happened
+
+
+# ---------------------------------------------------------------------------
+# preset defaults pinned against the reference scripts' own argparse defaults
+# ---------------------------------------------------------------------------
+
+# preset -> the reference script whose defaults it must reproduce
+_PRESET_SCRIPTS = {
+    "simple_bd": "learnSimpleBDModel.py",
+    "simple_bd_rene": "learnSimpleBDModel_rene.py",
+    "euclidean_bd_rene": "learnEuclideanBDModel_rene.py",
+    "geodesic_bd": "learnGeodesicBDModel.py",
+    "geodesic_bd_multires": "learnGeodesicBDModel.py",
+    "geodesic_bd_quaternion": "learnGeodesicBDModel_quaternion.py",
+    "euclidean_bd": "learnEuclideanBDModel.py",
+    "laplacian_bd": "learnLaplacianBDModel.py",
+    "log_euclidean_bd": "learnLogEuclideanModel.py",
+    "riemannian_bd": "learnRiemannianBDModel.py",
+    "probabilistic_bd": "learnProbabilisticBDModel.py",
+    "probabilistic_bd_multires": "learnProbabilisticBDModel.py",
+    "classification": "learnClassificationModel.py",
+    "geodesic_regression": "learnGeodesicRegressionModel.py",
+    "geodesic_regression_quaternion": "learnGeodesicRegression_quaternion.py",
+    "independent_regression": "learnIndependentRegressionModel.py",
+    "independent_bd": "learnIndependentBDModel.py",
+    "rendered_bd": "learnRenderedBDModel.py",
+    "joint_cat_pose_top1": "learnJointCatPoseModel_top1.py",
+    "joint_cat_pose_top1_new": "learnJointCatPoseModel_top1_new.py",
+    "joint_cat_pose_weighted": "learnJointCatPoseModel_weighted.py",
+    "joint_cat_pose2_top1": "learnJointCatPoseModel2_top1.py",
+    "joint_cat_pose2_weighted": "learnJointCatPoseModel2_weighted.py",
+    "joint_cat_pose3_top1": "learnJointCatPoseModel3_top1.py",
+    "joint_cat_pose3_weighted": "learnJointCatPoseModel3_weighted.py",
+    "elhoseiny_bd": "learnElhoseinyBDModel.py",
+    "elhoseiny_regression": "learnElhoseinyRegressionModel.py",
+    "categorization": "learnCategorizationModel.py",
+    "cat_given_pose": "learnCatGivenPoseModel.py",
+    "cat_given_pose3": "learnCatGivenPoseModel3.py",
+    "objectnet_quat": "learnObjectnetModel.py",
+    "objectnet_bd": "learnObjectnetBDModel.py",
+    "objectnet_regression": "learnObjectnetRegressionModel.py",
+    "objectnet_classification": "learnObjectnetClassificationModel.py",
+    "ablation_geodesic_bd": "ablationGeodesicBDModel.py",
+    "ablation_xbd": "ablationXBDModel.py",
+    "ablation_gbd_augmentation": "ablationGBDAugmentation.py",
+    "ablation_c0": "ablationDictionarySizeC0.py",
+}
+
+# presets whose dict_size deliberately diverges from the script's --dict_size
+# argparse default, each for a documented runnability reason (presets.py):
+#   objectnet_quat          — the analytic 16-atom dictionary is hardcoded
+#                             (learnObjectnetModel.py:60-66); --dict_size is
+#                             never used to build it
+#   objectnet_bd_multires   — OneDeltaPerBinModel(num_classes) keeps the ctor
+#                             default 16 heads (learnObjectnetBDModel.py:83),
+#                             so only a 16-atom dictionary can run
+#   geodesic_bd_multires / probabilistic_bd_multires — same script/flag as
+#                             their base preset (checked via the base row)
+_DICT_SIZE_EXEMPT = {
+    "objectnet_quat",
+    "objectnet_bd_multires",
+}
+
+
+def _reference_defaults(script):
+    """num_epochs / init_lr / dict_size defaults as the script declares them
+    (argparse default=... or a module-level constant)."""
+    import os
+    import re
+
+    with open(os.path.join("/root/reference", script)) as f:
+        text = f.read()
+    out = {}
+    for key, pat in (
+        ("num_epochs", r"num_epochs', type=int, default=(\d+)"),
+        ("init_lr", r"init_lr', type=float, default=([0-9eE.+-]+)"),
+        ("dict_size", r"dict_size', type=int, default=(\d+)"),
+    ):
+        m = re.search(pat, text) or re.search(
+            rf"^{key} = ([0-9eE.+-]+)\s*$", text, re.M
+        )
+        if m:
+            out[key] = float(m.group(1))
+    return out
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir("/root/reference"),
+    reason="reference repo not mounted",
+)
+def test_preset_defaults_match_reference_argparse_defaults():
+    """Every training preset's num_epochs / init_lr / dict_size defaults ==
+    the corresponding reference script's own argparse defaults (parsed from
+    the reference at test time, not pinned by hand). Catches silently-wrong
+    run lengths: the joint scripts default to 50 epochs (v2: 20, and v2 is
+    the only family at init_lr=1e-5 — learnJointCatPoseModel2_top1.py:35,38),
+    the ObjectNet scripts to 10, while the BD family runs 3."""
+    for preset, script in _PRESET_SCRIPTS.items():
+        ref = _reference_defaults(script)
+        cfg = get_config(preset)
+        assert ref, f"{script}: no defaults parsed"
+        if "num_epochs" in ref:
+            assert cfg.num_epochs == int(ref["num_epochs"]), (
+                f"{preset}: num_epochs {cfg.num_epochs} != "
+                f"{script}'s default {ref['num_epochs']}"
+            )
+        if "init_lr" in ref:
+            assert cfg.init_lr == pytest.approx(ref["init_lr"]), (
+                f"{preset}: init_lr {cfg.init_lr} != "
+                f"{script}'s default {ref['init_lr']}"
+            )
+        if "dict_size" in ref and preset not in _DICT_SIZE_EXEMPT:
+            assert cfg.dict_size == int(ref["dict_size"]), (
+                f"{preset}: dict_size {cfg.dict_size} != "
+                f"{script}'s default {ref['dict_size']}"
+            )
+    # the evaluate protocol's fine-tune length (all evaluate* scripts)
+    ev = _reference_defaults("evaluateGeodesicBDModel.py")
+    assert get_config("geodesic_bd").eval_num_epochs == int(ev["num_epochs"])
