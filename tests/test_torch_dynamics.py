@@ -3419,3 +3419,184 @@ def test_joint_reg_v3_conversion_and_forward_parity(ref_modules, batches):
     np.testing.assert_allclose(
         np.asarray(pose_j), pose_t.numpy(), rtol=2e-4, atol=2e-4
     )
+
+
+def test_simple_bd_dynamics_x64_strict(ref_modules, centers, batches, x64_mode):
+    """learnSimpleBDModel.py:104-151 executed head-to-head at f64, uniform
+    1e-6 per-step bounds. The base simple-BD loop is the one dual-loader
+    script with NO phase structure at all: a single training() form
+    (CE + 0.5*exp(-2s)*MSE(residual) + s, s' = 0.5*log Lr — :126,131) runs
+    for every epoch, `s` initialized once at module level (:100) and never
+    reset, no decode and no scheduler (:95,184 commented out). Certifies
+    the single-phase preset wiring (num_warmup_epochs=0, warmup-form main
+    balance) through the genuine two-forward dual-stream protocol with
+    per-stream BN statistics — including that the Trainer carries s across
+    what would be epoch boundaries (steps here) without a reset."""
+    import dataclasses
+
+    binDeltaModels, _, _, _ = ref_modules
+    _torch_seed_all(16)
+    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    model.feature_model = TorchResNet18Features()
+    model = model.double()
+
+    cfg = dataclasses.replace(_make_cfg("simple_bd"), compute_dtype="float64")
+    assert cfg.num_warmup_epochs == 0 and cfg.self_balance
+    assert cfg.problem == "simple" and cfg.bn_per_stream
+    assert cfg.epoch_lr_decay is None and not cfg.loss_stream_sum
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches64 = _f64_batches(batches, centers)
+    n_steps = 10
+
+    # --- jax side: the single-phase main step, dual-stream
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("main", dual_stream=True)
+    for i in range(n_steps):
+        b = trainer.shard_batch(batches64[i % len(batches64)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: the reference loop verbatim (two forwards, cat, s lag)
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    ce = nn.CrossEntropyLoss()
+    mse = nn.MSELoss()
+    traj_ref = []
+    model.train()
+    s = 0.0
+    for i in range(n_steps):
+        b = batches64[i % len(batches64)]
+        n = b["x_t"].shape[0] // 2
+        out_r = model(b["x_t"][:n], b["label_t"][:n])
+        out_s = model(b["x_t"][n:], b["label_t"][n:])
+        out_bin = torch.cat([out_r[0], out_s[0]])
+        out_res = torch.cat([out_r[1], out_s[1]])
+        Lc = ce(out_bin, b["bins_t"])
+        Lr = mse(out_res, b["res_t"])
+        loss = Lc + 0.5 * math.exp(-2 * s) * Lr + s
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        s = 0.5 * math.log(Lr.item())  # learnSimpleBDModel.py:131
+        traj_ref.append(dict(loss=loss.item(), lc=Lc.item(), lr=Lr.item(), s=s))
+
+    assert len(traj_ref) == len(traj_jax) == n_steps
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"simple_bd x64 step {t} metric '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final.params, final_ref["params"]) < 1e-8
+    assert _max_abs_err(final.batch_stats, final_ref["batch_stats"]) < 1e-8
+
+
+def test_euclidean_bd_rene_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """learnEuclideanBDModel_rene.py:148-196 executed head-to-head at f64,
+    uniform 1e-6 per-step bounds. Same frozen-oracle protocol as the
+    certified simple _rene loop (optimizer over res_models only :136,
+    model.eval() + res_models.train() mixed BN :133,148, homoscedastic
+    sigma balance :164-170, scheduler never stepped :223) — but the sigma
+    MSE is on the DECODED pose centers[argmax(bins)] + delta (:162-166),
+    not the raw residual. The bin heads are frozen in eval mode, so the
+    argmax is a fixed selector and even f64-tight bounds hold with the
+    discontinuity in the graph; certifies the euclidean_rene problem's
+    decode path under the sigma form."""
+    import dataclasses
+
+    binDeltaModels, _, _, _ = ref_modules
+    _torch_seed_all(17)
+    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    model.feature_model = TorchResNet18Features()
+    model = model.double()
+
+    cfg = dataclasses.replace(
+        _make_cfg("euclidean_bd_rene"), compute_dtype="float64"
+    )
+    assert cfg.train_only == ("res_models",)
+    assert cfg.bn_train_only == ("res_models",)
+    assert cfg.epoch_lr_decay is None and cfg.self_balance
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches64 = _f64_batches(batches, centers)
+    n_steps = 8
+
+    # --- jax side
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("main")
+    for i in range(n_steps):
+        b = trainer.shard_batch(batches64[i % len(batches64)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: eval + res_models.train() + sigma loop on decoded pose
+    model.eval()
+    opt = torch.optim.Adam(model.res_models.parameters(), lr=cfg.init_lr)
+    mse = nn.MSELoss()
+    centers_t = torch.from_numpy(centers).double()
+    sigma = 1.0
+    traj_ref = []
+    model.res_models.train()  # training() entry (learnEuclideanBDModel_rene.py:148)
+    for i in range(n_steps):
+        b = batches64[i % len(batches64)]
+        out = model(b["x_t"], b["label_t"])
+        ind = torch.argmax(out[0], dim=1)
+        decoded = torch.index_select(centers_t, 0, ind) + out[1]
+        Lr = mse(decoded, b["y_t"])
+        loss = 1 / (2 * sigma ** 2) * Lr + 3 * math.log(sigma)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sigma = math.sqrt(Lr.item() / 3)
+        traj_ref.append(
+            dict(loss=loss.item(), lc=0.0, lr=Lr.item(), s=math.log(sigma))
+        )
+
+    assert len(traj_ref) == len(traj_jax) == n_steps
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"euclidean_rene x64 step {t} metric '{k}' diverged",
+            )
+
+    # frozen modules bit-identical in BOTH collections; res_models tracked
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    for name in ("feature_model", "bin_models"):
+        assert _max_abs_err(
+            final.params[name], variables["params"][name]
+        ) == 0.0, f"{name} params moved despite train_only"
+        assert _max_abs_err(
+            final.batch_stats[name], variables["batch_stats"][name]
+        ) == 0.0, f"{name} running stats moved despite bn_train_only"
+    assert _max_abs_err(
+        final.params["res_models"], final_ref["params"]["res_models"]
+    ) < 1e-8
+    assert _max_abs_err(
+        final.batch_stats["res_models"], final_ref["batch_stats"]["res_models"]
+    ) < 1e-8
