@@ -288,6 +288,11 @@ def load_reference_bd_checkpoint(path_or_dict: Any, cfg) -> dict:
     )
     params: dict = {"feature_model": bb_params}
     stats: dict = {"feature_model": bb_stats}
+    if cfg.model_kind == "categorization":
+        # learnCategorizationModel.py:51-60: backbone + a bare nn.Linear
+        # named `fc` -> CategorizationModel's `category_model`
+        params["category_model"] = _plain_linear(sd, "fc")
+        return {"params": params, "batch_stats": stats}
     if cfg.model_kind == "labelconcat_bd":
         for name in ("bin_model", "res_model"):
             params[name], stats[name] = _shared_head(sd, name, n_layers=3)
