@@ -4029,3 +4029,307 @@ def test_joint_v2_dynamics_x64_strict(
     }
     assert _max_abs_err(final.params, final_ref_params) < 1e-7
     assert _max_abs_err(final.batch_stats, final_ref_stats) < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# The remaining ObjectNet scripts at x64: the analytic-quaternion-dictionary
+# loop (learnObjectnetModel.py), the label-concat pi*tanh regression
+# (learnObjectnetRegressionModel.py), and the single-phase label-concat
+# classifier (learnObjectnetClassificationModel.py) — completing the
+# executing-loop certification matrix over every runnable learn* family
+# ---------------------------------------------------------------------------
+
+
+def _objectnet_helpers():
+    """Import the reference's objectnetHelperFunctions under the shared
+    torchvision stub (it needs transforms.* at import time and
+    models.resnet50 at model construction; the feature model is replaced
+    right after construction, like every test in this file)."""
+    tv = sys.modules["torchvision"]
+    for name in ("Normalize", "Compose", "Resize", "ToTensor"):
+        setattr(tv.transforms, name, lambda *a, **k: None)
+    tv.models.resnet50 = lambda pretrained=True: nn.Sequential(
+        *[nn.Sequential() for _ in range(9)]
+    )
+    import objectnetHelperFunctions as onf
+
+    return onf
+
+
+def test_objectnet_quat_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """learnObjectnetModel.py:60-240 executed head-to-head at f64, uniform
+    1e-6 EVERY step: the fixed analytic 16-atom quaternion dictionary
+    (:60-66), bin = argmax|<atom, q>| with residuals in R^4 (:108-112),
+    the label-concat OneBinDeltaModel, warmup Lc + MSE (:158-160), main
+    Lc + 10*quaternion-geodesic on the decoded pose (:183-186), and
+    torch's OWN objectnet LambdaLR stepped before each main epoch (:134,
+    :238). NOTE the published script is internally inconsistent as-is:
+    `OneBinDeltaModel(num_classes)` takes the ctor defaults dict_size=200,
+    dim=3 (objectnetHelperFunctions.py:156) while its own targets are
+    16-bin / 4-dim quaternions, so the warmup MSE crashes on a (B,3) vs
+    (B,4) shape mismatch. The runnable construction — dict_size=16, dim=4,
+    exactly what the `objectnet_quat` preset pins — is certified here."""
+    _ = ref_modules
+    import quaternion as ref_quaternion  # /root/reference, via ref_modules
+
+    from multi_modal_regression_tpu.data.loader import normalize_images
+    from multi_modal_regression_tpu.train.problems import (
+        objectnet_quaternion_dictionary,
+    )
+
+    onf = _objectnet_helpers()
+    _torch_seed_all(30)
+    model = onf.OneBinDeltaModel(C, dict_size=16, n0=N0, n1=N1, n2=N2, dim=4)
+    model.feature_model = TorchResNet18Features()
+    model = model.double()
+
+    cfg = get_config(
+        "objectnet_quat",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.dict_size == 16 and cfg.ndim == 4 and cfg.alpha == 10.0
+    assert cfg.epoch_lr_decay == "objectnet" and not cfg.self_balance
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert jax.tree.leaves(variables["params"])[0].dtype == np.float64
+
+    # f64 batches with the quaternion target chain computed by the SAME
+    # jax functions the compiled step runs in-graph (the f32-stored atoms
+    # widen bit-identically on both sides)
+    Cq32 = np.asarray(objectnet_quaternion_dictionary())
+    Cq = Cq32.astype(np.float64)
+    qbatches = []
+    for b in batches:
+        jb = b["jax"]
+        euler64 = jb["euler"].astype(np.float64)
+        xn64 = np.asarray(
+            normalize_images(jnp.asarray(jb["xdata"]), dtype=jnp.float64)
+        )
+        y64 = np.asarray(euler_to_pose(jnp.asarray(euler64), "quaternion"))
+        bins = np.asarray(
+            jnp.argmax(jnp.abs(jnp.asarray(y64) @ jnp.asarray(Cq32).T), -1)
+        )
+        qbatches.append(
+            dict(
+                jax={**jb, "euler": euler64},
+                x_t=torch.from_numpy(
+                    np.transpose(xn64, (0, 3, 1, 2))
+                ).contiguous(),
+                label_t=torch.from_numpy(jb["label"].astype(np.int64)[:, None]),
+                bins_t=torch.from_numpy(bins.astype(np.int64)),
+                res_t=torch.from_numpy(y64 - Cq[bins]),
+                y_t=torch.from_numpy(y64),
+            )
+        )
+
+    # --- jax side: warmup, the epoch-0 LambdaLR set, then main
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=Cq32),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("warmup")
+    for i in range(N_WARMUP):
+        b = trainer.shard_batch(qbatches[i % len(qbatches)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    state = trainer.apply_epoch_lr(state, 0)  # scheduler.step() at :238
+    step = trainer.train_step_fn("main")
+    for i in range(N_MAIN):
+        b = trainer.shard_batch(qbatches[i % len(qbatches)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final_state = jax.device_get(state)
+
+    # --- torch side: the reference loop with torch's own LambdaLR
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda ep: (10 ** -(ep // 10)) / (1 + ep % 10)
+    )
+    ce = nn.CrossEntropyLoss()
+    mse = nn.MSELoss()
+    gve = ref_quaternion.geodesic_loss()
+    centers_t = torch.from_numpy(Cq)
+    traj_ref = []
+    model.train()
+    for i in range(N_WARMUP):
+        b = qbatches[i % len(qbatches)]
+        out = model(b["x_t"], b["label_t"])
+        Lc = ce(out[0], b["bins_t"])
+        Lr = mse(out[1], b["res_t"])
+        loss = Lc + Lr  # learnObjectnetModel.py:160
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        traj_ref.append(dict(loss=loss.item(), lc=Lc.item(), lr=Lr.item(), s=0.0))
+    sched.step()  # before training() (learnObjectnetModel.py:238)
+    assert opt.param_groups[0]["lr"] == pytest.approx(cfg.init_lr / 2.0)
+    for i in range(N_MAIN):
+        b = qbatches[i % len(qbatches)]
+        out = model(b["x_t"], b["label_t"])
+        ind = torch.argmax(out[0], dim=1)
+        y = torch.index_select(centers_t, 0, ind) + out[1]
+        Lc = ce(out[0], b["bins_t"])
+        Lr = gve(y, b["y_t"])
+        loss = Lc + 10 * Lr  # learnObjectnetModel.py:186
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        traj_ref.append(dict(loss=loss.item(), lc=Lc.item(), lr=Lr.item(), s=0.0))
+
+    assert len(traj_ref) == len(traj_jax) == N_WARMUP + N_MAIN
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"objectnet_quat x64 step {t} '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final_state.params, final_ref["params"]) < 1e-8
+    assert _max_abs_err(final_state.batch_stats, final_ref["batch_stats"]) < 1e-8
+
+
+def test_objectnet_regression_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """learnObjectnetRegressionModel.py:68-127 executed head-to-head at
+    f64, uniform 1e-6 EVERY step: the label-concat RegressionModel
+    (objectnetHelperFunctions.py:201-215 — shared res_3layer on
+    features ⊕ one-hot, pi*tanh output at :214), warmup MSE on the
+    axis-angle target (:92), main geodesic loss DIRECTLY on the output
+    (:117, no bin/delta decode), and — the discriminating scheduler
+    detail — NO per-epoch LR decay: the script's scheduler.step() is
+    commented out (:164), so every step runs at init_lr."""
+    _, axisAngle, _, _ = ref_modules
+    onf = _objectnet_helpers()
+    _torch_seed_all(31)
+    model = onf.RegressionModel(C, n0=N0, n1=N1, n2=N2, dim=NDIM)
+    model.feature_model = TorchResNet18Features()
+    model = model.double()
+
+    cfg = get_config(
+        "objectnet_regression",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.epoch_lr_decay is None  # scheduler.step() commented out
+    assert cfg.alpha == 1.0 and not cfg.self_balance
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+
+    batches64 = _f64_batches(batches, centers)
+    traj_jax, final_state = run_jax_loop(cfg, centers, batches64, variables)
+
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    mse = nn.MSELoss()
+    gve = axisAngle.geodesic_loss()
+    traj_ref = []
+    model.train()
+    for i in range(N_WARMUP):
+        b = batches64[i % len(batches64)]
+        out = model(b["x_t"], b["label_t"])
+        loss = mse(out, b["y_t"])  # learnObjectnetRegressionModel.py:92
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        traj_ref.append(dict(loss=loss.item(), lc=0.0, lr=loss.item(), s=0.0))
+    for i in range(N_MAIN):
+        b = batches64[i % len(batches64)]
+        out = model(b["x_t"], b["label_t"])
+        loss = gve(out, b["y_t"])  # learnObjectnetRegressionModel.py:117
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        traj_ref.append(dict(loss=loss.item(), lc=0.0, lr=loss.item(), s=0.0))
+
+    assert len(traj_ref) == len(traj_jax) == N_WARMUP + N_MAIN
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"objectnet_regression x64 step {t} '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final_state.params, final_ref["params"]) < 1e-8
+    assert _max_abs_err(final_state.batch_stats, final_ref["batch_stats"]) < 1e-8
+
+
+def test_objectnet_classification_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode
+):
+    """learnObjectnetClassificationModel.py:77-146 executed head-to-head at
+    f64, uniform 1e-6 EVERY step: the label-concat ClassificationModel
+    (objectnetHelperFunctions.py:218-231 — shared bin_3layer on
+    features ⊕ one-hot), a SINGLE-phase loop (no training_init — the
+    preset pins num_warmup_epochs=0) of pure cross-entropy on the kmeans
+    bin (:101), and no per-epoch LR decay (scheduler.step() commented out
+    at :144). All 10 steps here run the main-phase step function."""
+    _ = ref_modules
+    onf = _objectnet_helpers()
+    _torch_seed_all(32)
+    model = onf.ClassificationModel(C, dict_size=K, n0=N0, n1=N1, n2=N2)
+    model.feature_model = TorchResNet18Features()
+    model = model.double()
+
+    cfg = get_config(
+        "objectnet_classification",
+        num_classes=C, dict_size=K, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.num_warmup_epochs == 0 and cfg.epoch_lr_decay is None
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+
+    batches64 = _f64_batches(batches, centers)
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("main")  # single-phase script
+    for i in range(N_WARMUP + N_MAIN):
+        b = trainer.shard_batch(batches64[i % len(batches64)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final_state = jax.device_get(state)
+
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    ce = nn.CrossEntropyLoss()
+    traj_ref = []
+    model.train()
+    for i in range(N_WARMUP + N_MAIN):
+        b = batches64[i % len(batches64)]
+        out = model(b["x_t"], b["label_t"])
+        loss = ce(out, b["bins_t"])  # learnObjectnetClassificationModel.py:101
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        traj_ref.append(dict(loss=loss.item(), lc=loss.item(), lr=0.0, s=0.0))
+
+    assert len(traj_ref) == len(traj_jax) == N_WARMUP + N_MAIN
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"objectnet_classification x64 step {t} '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final_state.params, final_ref["params"]) < 1e-8
+    assert _max_abs_err(final_state.batch_stats, final_ref["batch_stats"]) < 1e-8
