@@ -4333,3 +4333,136 @@ def test_objectnet_classification_dynamics_x64_strict(
     final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
     assert _max_abs_err(final_state.params, final_ref["params"]) < 1e-8
     assert _max_abs_err(final_state.batch_stats, final_ref["batch_stats"]) < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# ablationGeodesicBDModel.py at x64 — the reference's OWN SimpleLoss /
+# GeodesicLoss criterion classes (binDeltaLosses.py:16-50) driving the
+# backward, composed with the ablation family's loop shape: fixed alpha,
+# per-stream loss SUM, live StepLR
+# ---------------------------------------------------------------------------
+
+
+def test_ablation_geodesic_bd_dynamics_x64_strict(
+    ref_modules, centers, batches, x64_mode, tmp_path
+):
+    """ablationGeodesicBDModel.py:67-221 executed head-to-head at f64 with
+    uniform 1e-6 per-step bounds. Unlike the learn* geodesic tests (which
+    assemble the losses inline the way learnGeodesicBDModel.py does), the
+    torch backward here runs through the reference's OWN criterion
+    classes — SimpleLoss (Lc + alpha*MSE via the deprecated three-arg
+    torch.add, binDeltaLosses.py:16-28) in training_init and GeodesicLoss
+    (argmax decode against its pickled f32 dictionary + geodesic,
+    binDeltaLosses.py:31-50) in training — combined with the ablation
+    loop shape: NO self-balance (fixed alpha=1.0, ablationGeodesicBDModel
+    .py:45,67-68), per-stream loss SUM (`loss_real + loss_render`, :121,
+    :159), and StepLR(1, 0.1) stepped before each main epoch (:95,217)."""
+    import pickle
+
+    binDeltaModels, axisAngle, _, binDeltaLosses = ref_modules
+    _torch_seed_all(33)
+    model = binDeltaModels.OneBinDeltaModel("none", C, K, N0, N1, N2, NDIM)
+    model.feature_model = TorchResNet18Features()
+    model = model.double()
+
+    cfg = get_config(
+        "ablation_geodesic_bd",
+        num_classes=C, feature_network="resnet18",
+        N0=N0, N1=N1, N2=N2, dict_size=K, image_size=SIZE,
+        compute_dtype="float64", optimizer_dtype="float32",
+    )
+    assert cfg.loss_stream_sum and cfg.bn_per_stream and not cfg.self_balance
+    assert cfg.epoch_lr_decay == "step" and cfg.alpha == 1.0
+    variables = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    batches64 = _f64_batches(batches, centers)
+
+    # --- jax side: warmup at factor(0)=1, then StepLR -> main at 0.1x
+    trainer = Trainer(
+        cfg,
+        dictionary=KMeansDictionary(cluster_centers=centers),
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    state = trainer.init_state()
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    state = state.replace(opt_state=trainer.tx.init(state.params))
+    state = jax.device_put(state, replicated_sharding(trainer.mesh))
+    traj_jax = []
+    step = trainer.train_step_fn("warmup", dual_stream=True)
+    for i in range(N_WARMUP):
+        b = trainer.shard_batch(batches64[i % len(batches64)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    state = trainer.apply_epoch_lr(state, 0)  # scheduler.step() (:217)
+    step = trainer.train_step_fn("main", dual_stream=True)
+    for i in range(N_MAIN):
+        b = trainer.shard_batch(batches64[i % len(batches64)]["jax"])
+        state, metrics = step(state, b)
+        traj_jax.append({k: float(v) for k, v in metrics.items()})
+    final = jax.device_get(state)
+
+    # --- torch side: the reference's own criterion classes. GeodesicLoss
+    # pickles-in the kmeans dictionary and hard-casts it .float()
+    # (binDeltaLosses.py:37) — the same f32-stored centers the jax problem
+    # widens under x64, so the decode arithmetic matches bit-for-bit.
+    kmeans_file = tmp_path / "kmeans.pkl"
+    kmeans_file.write_bytes(
+        pickle.dumps(types.SimpleNamespace(cluster_centers_=centers))
+    )
+    crit1 = binDeltaLosses.SimpleLoss(cfg.alpha)
+    crit2 = binDeltaLosses.GeodesicLoss(
+        cfg.alpha, str(kmeans_file), axisAngle.geodesic_loss()
+    )
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.init_lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.1)
+    ce = nn.CrossEntropyLoss()
+    mse = nn.MSELoss()
+    gve = axisAngle.geodesic_loss()
+    centers_t = torch.from_numpy(centers.astype(np.float64))
+    n = B // 2
+    traj_ref = []
+    model.train()
+    for phase, n_steps in (("init", N_WARMUP), ("main", N_MAIN)):
+        if phase == "main":
+            sched.step()  # before training() (ablationGeodesicBDModel.py:217)
+            assert opt.param_groups[0]["lr"] == pytest.approx(cfg.init_lr * 0.1)
+        for i in range(n_steps):
+            b = batches64[i % len(batches64)]
+            out_r = model(b["x_t"][:n], b["label_t"][:n])
+            out_s = model(b["x_t"][n:], b["label_t"][n:])
+            if phase == "init":
+                loss_real = crit1(out_r, [b["bins_t"][:n], b["res_t"][:n]])
+                loss_render = crit1(out_s, [b["bins_t"][n:], b["res_t"][n:]])
+            else:
+                loss_real = crit2(out_r, [b["bins_t"][:n], b["y_t"][:n]])
+                loss_render = crit2(out_s, [b["bins_t"][n:], b["y_t"][n:]])
+            loss = loss_real + loss_render  # :121 / :159
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            # metrics recomputed per component (the criterion classes only
+            # expose the combined scalar)
+            with torch.no_grad():
+                lc = (ce(out_r[0], b["bins_t"][:n])
+                      + ce(out_s[0], b["bins_t"][n:])).item()
+                if phase == "init":
+                    lr_m = (mse(out_r[1], b["res_t"][:n])
+                            + mse(out_s[1], b["res_t"][n:])).item()
+                else:
+                    y_r = centers_t[torch.argmax(out_r[0], 1)] + out_r[1]
+                    y_s = centers_t[torch.argmax(out_s[0], 1)] + out_s[1]
+                    lr_m = (gve(y_r, b["y_t"][:n])
+                            + gve(y_s, b["y_t"][n:])).item()
+            traj_ref.append(dict(loss=loss.item(), lc=lc, lr=lr_m, s=0.0))
+
+    assert len(traj_ref) == len(traj_jax) == N_WARMUP + N_MAIN
+    for t, (r, j) in enumerate(zip(traj_ref, traj_jax)):
+        for k in ("loss", "lc", "lr", "s"):
+            np.testing.assert_allclose(
+                j[k], r[k], rtol=1e-6, atol=1e-9,
+                err_msg=f"ablation_geodesic_bd x64 step {t} '{k}' diverged",
+            )
+    final_ref = load_reference_bd_checkpoint(model.state_dict(), cfg)
+    assert _max_abs_err(final.params, final_ref["params"]) < 1e-8
+    assert _max_abs_err(final.batch_stats, final_ref["batch_stats"]) < 1e-8
