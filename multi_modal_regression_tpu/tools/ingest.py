@@ -401,15 +401,17 @@ def prepare_pascal3d(
             if original_names["imagenet_train"] or original_names["imagenet_val"]:
                 import scipy.io as spio
 
+                # object dtype -> MATLAB cellstr (what the real setup
+                # scripts save; char matrices load space-padded)
                 extra = {
-                    "imagenet_train": np.array(original_names["imagenet_train"]),
-                    "imagenet_val": np.array(original_names["imagenet_val"]),
-                    "pascal_train": np.array(original_names["pascal_train"]),
-                    "pascal_val": np.array(original_names["pascal_val"]),
-                    "image_names": np.array(
-                        [n for v in original_names.values() for n in v]
-                    ),
+                    k: np.array(original_names[k], dtype=object)
+                    for k in ("imagenet_train", "imagenet_val",
+                              "pascal_train", "pascal_val")
                 }
+                extra["image_names"] = np.array(
+                    [n for v in original_names.values() for n in v],
+                    dtype=object,
+                )
                 spio.savemat(
                     str(out_root / "original" / f"{cls}_info.mat"), extra
                 )
@@ -433,7 +435,7 @@ def prepare_pascal3d(
     for k, v in dbinfo.items():
         for i, arr in enumerate(v):
             tmp[k][i] = arr
-    tmp["classes"] = np.array(list(classes))
+    tmp["classes"] = np.array(list(classes), dtype=object)  # cellstr
     spio.savemat(str(out_root / "dbinfo.mat"), tmp)
     return summary
 
@@ -728,7 +730,8 @@ def prepare_detection_set(
     with cf.ThreadPoolExecutor(max(workers, 1)) as pool:
         list(pool.map(process, zip(image_names, detections)))
     spio.savemat(
-        str(out_dir / "dbinfo.mat"), {"image_names": np.array(list(image_names))}
+        str(out_dir / "dbinfo.mat"),
+        {"image_names": np.array(list(image_names), dtype=object)},  # cellstr
     )
 
 

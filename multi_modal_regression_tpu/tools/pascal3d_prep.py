@@ -424,11 +424,15 @@ def write_info_mat(
     import scipy.io as spio
 
     out = Path(db_path) / f"{cls}{suffix}.mat"
-    payload = {"image_names": np.array(list(image_names))}
+    # object dtype -> MATLAB cell arrays, the layout the real setup scripts
+    # save (cellstr). A plain str array becomes a space-padded char matrix,
+    # which the reference's own readers (dataGenerators.py:36 — no strip)
+    # cannot open paths from.
+    payload = {"image_names": np.array(list(image_names), dtype=object)}
     if pascal_train is not None:
-        payload["pascal_train"] = np.array(list(pascal_train))
+        payload["pascal_train"] = np.array(list(pascal_train), dtype=object)
     if pascal_val is not None:
-        payload["pascal_val"] = np.array(list(pascal_val))
+        payload["pascal_val"] = np.array(list(pascal_val), dtype=object)
     spio.savemat(str(out), payload)
     return out
 
@@ -468,4 +472,7 @@ def write_detection_crops(
                 "labels": np.asarray(labels, np.int64),
             },
         )
-    spio.savemat(str(out_dir / "dbinfo.mat"), {"image_names": np.array(names)})
+    spio.savemat(
+        str(out_dir / "dbinfo.mat"),
+        {"image_names": np.array(names, dtype=object)},  # cellstr layout
+    )

@@ -66,7 +66,10 @@ def generate_detection_set(
                 "labels": rng.integers(1, num_classes + 1, n),  # 1-based
             },
         )
-    spio.savemat(str(root / "dbinfo.mat"), {"image_names": np.array(names)})
+    spio.savemat(
+        str(root / "dbinfo.mat"),
+        {"image_names": np.array(names, dtype=object)},  # cellstr layout
+    )
     return root
 
 
@@ -328,7 +331,10 @@ def generate_pose_dataset(
         if write_info_mat:
             import scipy.io as spio
 
+            # object dtype -> a MATLAB cell array (cellstr), like the real
+            # setup scripts save; a str array would load space-padded
             spio.savemat(
-                str(root / f"{cls}_info.mat"), {"image_names": np.array(names)}
+                str(root / f"{cls}_info.mat"),
+                {"image_names": np.array(names, dtype=object)},
             )
     return root
