@@ -47,6 +47,7 @@ from multi_modal_regression_tpu.data.loader import normalize_images
 from multi_modal_regression_tpu.data.naming import PASCAL3D_CLASSES
 from multi_modal_regression_tpu.data.targets import (
     euler_to_pose,
+    gmm_soft_targets,
     hard_bin_targets,
     per_bin_tangent_residuals,
     rbf_soft_targets,
@@ -145,6 +146,28 @@ def ref_data():
         for k in ("dataGenerators", "helperFunctions", "axisAngle",
                   "quaternion"):
             sys.modules.pop(k, None)
+
+
+@pytest.fixture(scope="module")
+def ref_gen(ref_data):
+    """The reference's derived generator modules, imported under the same
+    stub (REFERENCE is on sys.path for the lifetime of ref_data):
+    binDeltaGenerators (what 20+ learn/evaluate scripts construct),
+    ablationFunctions (the `_train_info` real split + tunable gamma), and
+    objectnetHelperFunctions (flat per-class indexes, module-level
+    preprocess)."""
+    import ablationFunctions
+    import binDeltaGenerators
+    import objectnetHelperFunctions
+
+    yield types.SimpleNamespace(
+        bdg=binDeltaGenerators,
+        abl=ablationFunctions,
+        onf=objectnetHelperFunctions,
+    )
+    for k in ("binDeltaGenerators", "ablationFunctions",
+              "objectnetHelperFunctions", "featureModels", "poseModels"):
+        sys.modules.pop(k, None)
 
 
 @pytest.fixture(scope="module")
@@ -487,3 +510,386 @@ def test_pascal3dall_quaternion_conversion(ref_data, mat_tree):
     np.testing.assert_allclose(
         our_q, ref_all["ydata"].numpy(), atol=1e-5, rtol=0
     )
+
+
+# ---------------------------------------------------------------------------
+# binDeltaGenerators vs ClassBalancedIndex + BalancedLoader + data.targets
+# (the generator classes the learn*/evaluate* scripts actually construct)
+# ---------------------------------------------------------------------------
+
+
+def _first_batch_pair(ref_ds, ref_data, tree, db_type):
+    ref_b = ref_data.my_collate([ref_ds[0], ref_ds[1]])
+    ob = _our_batches(tree, db_type, n_batches=1)[0]
+    return ref_b, ob
+
+
+@pytest.mark.parametrize("db_type", ["real", "render"])
+def test_bdg_gbd_generator(ref_gen, ref_data, tree, kmeans_file, db_type):
+    """GBDGenerator (binDeltaGenerators.py:10-32) — kmeans.predict hard bin
+    + Euclidean center residual on top of the ImagesAll pixel/target path,
+    for both tilt-sign conventions."""
+    ds = ref_gen.bdg.GBDGenerator(str(tree), db_type, kmeans_file)
+    ref_b, ob = _first_batch_pair(ds, ref_data, tree, db_type)
+    np.testing.assert_allclose(
+        _our_norm(ob["xdata"]), _ref_np(ref_b["xdata"]), atol=1e-5, rtol=0
+    )
+    y = euler_to_pose(jnp.asarray(ob["euler"]))
+    centers = ds.kmeans.cluster_centers_
+    assert float(_bin_margins(y, centers).min()) > 1e-3  # no argmin flips
+    bins, res = hard_bin_targets(y, jnp.asarray(centers, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(bins), ref_b["ydata_bin"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(res), ref_b["ydata_res"].numpy(), atol=2e-4, rtol=0
+    )
+
+
+class _EraLabels(np.ndarray):
+    """predict-labels array restoring ONE era-torch coercion: TestImages
+    computes `np.squeeze(labels) * torch.ones(1).long()`
+    (objectnetHelperFunctions.py:100-102) — a 0-d ndarray times a Tensor,
+    which the reference's torch coerced and modern torch refuses."""
+
+    def __mul__(self, other):
+        if isinstance(other, torch.Tensor):
+            return int(self) * other
+        return super().__mul__(other)
+
+
+class EraPredictKMeans:
+    """A fitted-KMeans pickle whose `predict` carries the sklearn-era
+    semantics the reference ran on: Euclidean argmin against the CURRENT
+    `cluster_centers_`, any dtype or dimension (era `_check_test_data`
+    validated X against `cluster_centers_.shape[1]` and
+    `euclidean_distances` upcast mixed dtypes). Modern sklearn pins
+    `n_features_in_` at fit and its Lloyd kernel requires
+    `X.dtype == cluster_centers_.dtype`, so two published code paths now
+    raise despite having run fine in the era: GBDGeneratorQ predicts f32
+    4-dim quaternions against the mutated f64 converted centers
+    (binDeltaGenerators.py:67,79 + learnGeodesicBDModel_quaternion.py:57),
+    and objectnet TestImages predicts f64 get_y outputs against the
+    f32-fit dictionary (objectnetHelperFunctions.py:100). This shim class
+    (cluster_centers_ + n_clusters + era predict, nothing else) is what
+    gets pickled where those paths execute; the Dataset classes' own code
+    runs untouched, and bin-margin guards in every consuming test rule out
+    argmin ties."""
+
+    def __init__(self, fitted_kmeans):
+        self.cluster_centers_ = np.asarray(fitted_kmeans.cluster_centers_)
+        self.n_clusters = int(fitted_kmeans.n_clusters)
+
+    def predict(self, X):
+        X = np.asarray(X, np.float64)
+        C = np.asarray(self.cluster_centers_, np.float64)
+        labels = np.argmin(((X[:, None] - C[None]) ** 2).sum(-1), axis=1)
+        return labels.view(_EraLabels)
+
+
+def _era_pickle(kmeans_file, path):
+    with open(kmeans_file, "rb") as f:
+        km = pickle.load(f)
+    with open(path, "wb") as f:
+        pickle.dump(EraPredictKMeans(km), f)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def kmeans_q_file(kmeans_file, tmp_path_factory):
+    """The axis-angle dictionary re-pickled with era predict semantics for
+    GBDGeneratorQ (see EraPredictKMeans)."""
+    return _era_pickle(
+        kmeans_file, tmp_path_factory.mktemp("kmeans_q") / "kmeans.pkl"
+    )
+
+
+def test_bdg_gbd_generator_q(ref_gen, ref_data, tree, kmeans_file,
+                             kmeans_q_file):
+    """GBDGeneratorQ — quaternion ydata, dictionary converted through the
+    reference's own convert_dictionary (quaternion.py:79-92), hard binning
+    by Euclidean distance IN QUATERNION SPACE (see kmeans_q_file on the
+    sklearn-era validation) — vs our quaternion euler_to_pose +
+    convert_dictionary + hard_bin_targets."""
+    from multi_modal_regression_tpu.geometry.quaternion import (
+        convert_dictionary as our_convert,
+    )
+
+    ds = ref_gen.bdg.GBDGeneratorQ(str(tree), "real", kmeans_q_file)
+    ref_b, ob = _first_batch_pair(ds, ref_data, tree, "real")
+    y_q = euler_to_pose(jnp.asarray(ob["euler"]), ydata_type="quaternion")
+    # the class mutated its estimator's centers to the converted quats;
+    # certify our conversion of the ORIGINAL pickle matches the centers the
+    # binning actually used
+    with open(kmeans_file, "rb") as f:
+        raw = pickle.load(f)
+    centers_q = our_convert(jnp.asarray(raw.cluster_centers_))
+    np.testing.assert_allclose(
+        np.asarray(centers_q), ds.kmeans.cluster_centers_, atol=1e-6, rtol=0
+    )
+    assert float(
+        _bin_margins(y_q, np.asarray(ds.kmeans.cluster_centers_)).min()
+    ) > 1e-3
+    bins, res = hard_bin_targets(y_q, centers_q.astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(bins), ref_b["ydata_bin"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(res), ref_b["ydata_res"].numpy(), atol=1e-4, rtol=0
+    )
+
+
+@pytest.fixture(scope="module")
+def gmm_file(ref_data, tree, tmp_path_factory):
+    """A real pickled sklearn full-covariance GaussianMixture (what
+    XPBDGenerator unpickles, binDeltaGenerators.py:40; fit protocol of
+    learnGMMDictionary: covariance_type='full')."""
+    from sklearn.mixture import GaussianMixture
+
+    ds = ref_data.ImagesAll(str(tree), "real")
+    Y = np.concatenate([ds[i]["ydata"].numpy() for i in range(len(ds))])
+    gmm = GaussianMixture(
+        n_components=5, covariance_type="full", random_state=0, n_init=3,
+        reg_covar=1e-4,
+    ).fit(Y.astype(np.float64))
+    path = tmp_path_factory.mktemp("gmm") / "gmm.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(gmm, f)
+    return str(path)
+
+
+def test_bdg_xpbd_generator_gmm(ref_gen, ref_data, tree, gmm_file):
+    """XPBDGenerator (binDeltaGenerators.py:35-57) — sklearn predict_proba
+    posterior soft bins + posterior-mean residual vs our gmm_soft_targets
+    (recomputed Cholesky path, f32)."""
+    ds = ref_gen.bdg.XPBDGenerator(str(tree), "real", gmm_file)
+    ref_b, ob = _first_batch_pair(ds, ref_data, tree, "real")
+    y = euler_to_pose(jnp.asarray(ob["euler"]))
+    soft, res = gmm_soft_targets(
+        y,
+        jnp.asarray(ds.gmm.means_, jnp.float32),
+        jnp.asarray(ds.gmm.covariances_, jnp.float32),
+        jnp.asarray(ds.gmm.weights_, jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(soft), ref_b["ydata_bin"].numpy(), atol=5e-5, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(res), ref_b["ydata_res"].numpy(), atol=5e-5, rtol=0
+    )
+
+
+def test_bdg_xpbd_generator_q(ref_gen, ref_data, tree, kmeans_file):
+    """XPBDGeneratorQ (binDeltaGenerators.py:86-110) — RBF soft bins
+    exp(-10 d^2)/sum over the CONVERTED quaternion dictionary (host numpy
+    cdist; no sklearn predict, so the plain pickle runs) + soft-center
+    residual, vs rbf_soft_targets on our quaternion chain."""
+    from multi_modal_regression_tpu.geometry.quaternion import (
+        convert_dictionary as our_convert,
+    )
+
+    ds = ref_gen.bdg.XPBDGeneratorQ(str(tree), "real", kmeans_file)
+    ref_b, ob = _first_batch_pair(ds, ref_data, tree, "real")
+    y_q = euler_to_pose(jnp.asarray(ob["euler"]), ydata_type="quaternion")
+    # ds.kmeans.cluster_centers_ is already converted by the ctor; recompute
+    # from the original pickle to certify our conversion independently
+    with open(kmeans_file, "rb") as f:
+        raw = pickle.load(f)
+    np.testing.assert_allclose(
+        np.asarray(our_convert(jnp.asarray(raw.cluster_centers_))),
+        ds.kmeans.cluster_centers_, atol=1e-6, rtol=0,
+    )
+    soft, res = rbf_soft_targets(
+        y_q, jnp.asarray(ds.kmeans.cluster_centers_, jnp.float32), gamma=10.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(soft), ref_b["ydata_bin"].numpy(), atol=1e-5, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(res), ref_b["ydata_res"].numpy(), atol=1e-5, rtol=0
+    )
+
+
+def test_bdg_rbd_generator(ref_gen, ref_data, tree, kmeans_file):
+    """RBDGenerator (binDeltaGenerators.py:113-139) — per-sample get_R
+    rotations, hard bin, SO(3) tangent residual get_y(Rdict^T R) via the
+    reference's own numpy loops, vs our batched tangent_residual_targets."""
+    ds = ref_gen.bdg.RBDGenerator(str(tree), "real", kmeans_file)
+    ref_b, ob = _first_batch_pair(ds, ref_data, tree, "real")
+    y = euler_to_pose(jnp.asarray(ob["euler"]))
+    centers = jnp.asarray(ds.kmeans.cluster_centers_, jnp.float32)
+    assert float(_bin_margins(y, ds.kmeans.cluster_centers_).min()) > 1e-3
+    key_R = exp_so3(centers)
+    np.testing.assert_allclose(
+        np.asarray(key_R), ds.rotations_dict, atol=1e-6, rtol=0
+    )
+    bins, res, R = tangent_residual_targets(y, centers, key_R)
+    np.testing.assert_array_equal(np.asarray(bins), ref_b["ydata_bin"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(R), ref_b["ydata_rot"].numpy(), atol=2e-4, rtol=0
+    )
+    ref_res = ref_b["ydata_res"].numpy()
+    _assert_angles_bounded(ref_res, lim=3.13)
+    np.testing.assert_allclose(np.asarray(res), ref_res, atol=5e-4, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# ablationFunctions vs the info_suffix='_train_info' index + tunable gamma
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def abl_tree(tree):
+    """The pose tree plus `<cls>_train_info.mat` split files holding a
+    STRICT SUBSET (first 2 names) of each class's `<cls>_info.mat` — the
+    layout ablationFunctions.ImagesAll reads for db_type='real'
+    (ablationFunctions.py:27-28), made discriminable from the render index."""
+    import scipy.io as spio
+
+    for cls in PASCAL3D_CLASSES:
+        full = spio.loadmat(
+            str(tree / f"{cls}_info.mat"), squeeze_me=True
+        )["image_names"]
+        spio.savemat(
+            str(tree / f"{cls}_train_info.mat"),
+            {"image_names": np.array([str(n) for n in full[:2]],
+                                     dtype=object)},
+        )
+    return tree
+
+
+def test_ablation_imagesall_train_info(ref_gen, ref_data, abl_tree,
+                                        kmeans_file):
+    """ablationFunctions.GBDGenerator('real') reads the `_train_info` split
+    files — certify against ClassBalancedIndex(info_suffix='_train_info'),
+    and that the split is genuinely discriminating vs the full index."""
+    ds = ref_gen.abl.GBDGenerator(str(abl_tree), "real", kmeans_file)
+    assert len(ds) == 2  # the split files hold 2 names/class (premise)
+    assert len(ref_data.ImagesAll(str(abl_tree), "render")) > 2
+    ref_b = ref_data.my_collate([ds[0], ds[1]])
+
+    idx = ClassBalancedIndex(str(abl_tree), "real",
+                             info_suffix="_train_info")
+    loader = BalancedLoader(
+        idx, items_per_batch=2, image_size=224, shuffle=False, num_workers=2,
+        prefetch_depth=1,
+    )
+    ob = next(iter(loader))
+    np.testing.assert_allclose(
+        _our_norm(ob["xdata"]), _ref_np(ref_b["xdata"]), atol=1e-5, rtol=0
+    )
+    y = euler_to_pose(jnp.asarray(ob["euler"]))
+    centers = ds.kmeans.cluster_centers_
+    assert float(_bin_margins(y, centers).min()) > 1e-3
+    bins, res = hard_bin_targets(y, jnp.asarray(centers, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(bins), ref_b["ydata_bin"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(res), ref_b["ydata_res"].numpy(), atol=2e-4, rtol=0
+    )
+
+
+def test_ablation_xpbd_tunable_gamma(ref_gen, ref_data, abl_tree,
+                                      kmeans_file):
+    """ablationFunctions.XPBDGenerator's tunable-gamma RBF targets
+    (ablationFunctions.py:128-151; the learnt-gamma relaxed protocol) vs
+    rbf_soft_targets at the same gamma."""
+    gamma = 2.5
+    ds = ref_gen.abl.XPBDGenerator(str(abl_tree), "real", kmeans_file, gamma)
+    ref_b = ref_data.my_collate([ds[0], ds[1]])
+    idx = ClassBalancedIndex(str(abl_tree), "real",
+                             info_suffix="_train_info")
+    loader = BalancedLoader(
+        idx, items_per_batch=2, image_size=224, shuffle=False, num_workers=2,
+        prefetch_depth=1,
+    )
+    ob = next(iter(loader))
+    y = euler_to_pose(jnp.asarray(ob["euler"]))
+    soft, res = rbf_soft_targets(
+        y, jnp.asarray(ds.kmeans.cluster_centers_, jnp.float32), gamma=gamma
+    )
+    np.testing.assert_allclose(
+        np.asarray(soft), ref_b["ydata_bin"].numpy(), atol=1e-5, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(res), ref_b["ydata_res"].numpy(), atol=1e-5, rtol=0
+    )
+
+
+# ---------------------------------------------------------------------------
+# objectnetHelperFunctions TrainImages/TestImages vs our ObjectNet indexes
+# ---------------------------------------------------------------------------
+
+OBJECTNET_SUBSET = list(PASCAL3D_CLASSES[:4])
+
+
+@pytest.fixture()
+def onf_cwd(tree, kmeans_file, tmp_path, monkeypatch):
+    """objectnetHelperFunctions hard-codes the kmeans pickle at the RELATIVE
+    path data/kmeans_dictionary_axis_angle_<dict_size>.pkl
+    (objectnetHelperFunctions.py:35,58) — chdir to a scratch dir carrying
+    it under dict_size=8. Re-pickled with era predict semantics: TestImages
+    predicts f64 get_y outputs against the f32-fit dictionary, which only
+    era sklearn upcast (see EraPredictKMeans)."""
+    (tmp_path / "data").mkdir()
+    _era_pickle(kmeans_file,
+                tmp_path / "data" / "kmeans_dictionary_axis_angle_8.pkl")
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def test_objectnet_trainimages(ref_gen, ref_data, tree, onf_cwd):
+    """objectnetHelperFunctions.TrainImages (:23-63) — class-balanced over
+    caller-supplied classes, ALWAYS the real tilt sign (ObjectNet trees
+    carry no render split), inline kmeans bin+residual — vs
+    ClassBalancedIndex over the same class subset + hard_bin_targets."""
+    ds = ref_gen.onf.TrainImages(str(tree), OBJECTNET_SUBSET, dict_size=8)
+    ref_b = ref_data.my_collate([ds[0], ds[1]])
+
+    idx = ClassBalancedIndex(str(tree), "real", classes=OBJECTNET_SUBSET)
+    loader = BalancedLoader(
+        idx, items_per_batch=2, image_size=224, shuffle=False, num_workers=2,
+        prefetch_depth=1,
+    )
+    ob = next(iter(loader))
+    np.testing.assert_array_equal(
+        ref_b["label"].numpy().ravel(), ob["label"]
+    )
+    np.testing.assert_allclose(
+        _our_norm(ob["xdata"]), _ref_np(ref_b["xdata"]), atol=1e-5, rtol=0
+    )
+    y = euler_to_pose(jnp.asarray(ob["euler"]))
+    centers = ds.kmeans.cluster_centers_
+    assert float(_bin_margins(y, centers).min()) > 1e-3
+    bins, res = hard_bin_targets(y, jnp.asarray(centers, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(bins), ref_b["ydata_bin"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(res), ref_b["ydata_res"].numpy(), atol=2e-4, rtol=0
+    )
+
+
+def test_objectnet_testimages(ref_gen, ref_data, tree, onf_cwd):
+    """objectnetHelperFunctions.TestImages (:69-107) — flat class-concat
+    stream with per-image kmeans bin+residual — vs FlatTestIndex +
+    TestLoader over the same subset."""
+    ds = ref_gen.onf.TestImages(str(tree), OBJECTNET_SUBSET, dict_size=8)
+    n = len(ds)
+    samples = [ds[i] for i in range(n)]
+    ref_x = np.stack([_ref_np(s["xdata"][None])[0] for s in samples])
+    ref_l = np.array([int(s["label"]) for s in samples])
+    ref_bins = np.array([int(s["ydata_bin"]) for s in samples])
+    ref_res = np.stack([s["ydata_res"].numpy() for s in samples])
+
+    idx = FlatTestIndex(str(tree), classes=OBJECTNET_SUBSET)
+    loader = FlatTestLoader(idx, batch_size=8, image_size=224, num_workers=2)
+    xs, ys, ls = [], [], []
+    for b in loader:
+        v = b["valid"]
+        xs.append(b["xdata"][v])
+        ys.append(b["euler"][v])
+        ls.append(b["label"][v])
+    our_x = np.concatenate(xs)
+    assert len(our_x) == n
+    np.testing.assert_array_equal(np.concatenate(ls), ref_l)
+    np.testing.assert_allclose(_our_norm(our_x), ref_x, atol=1e-5, rtol=0)
+    y = euler_to_pose(jnp.asarray(np.concatenate(ys)))
+    centers = ds.kmeans.cluster_centers_
+    assert float(_bin_margins(y, centers).min()) > 1e-3
+    bins, res = hard_bin_targets(y, jnp.asarray(centers, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(bins), ref_bins)
+    np.testing.assert_allclose(np.asarray(res), ref_res, atol=2e-4, rtol=0)
