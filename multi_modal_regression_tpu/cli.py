@@ -608,9 +608,49 @@ def cmd_predict(args) -> int:
 
     cfg = _config_from_args(args)
     workdir = args.workdir or f"runs/{args.save_str}"
-    trainer = Trainer(
-        cfg, dictionary=_load_dictionary(args.dictionary), workdir=workdir
-    )
+    dictionary = _load_dictionary(args.dictionary)
+    trainer = Trainer(cfg, dictionary=dictionary, workdir=workdir)
+
+    if args.analysis:
+        # evaluateJointModel[2].py: the SAME per-class analysis forward over
+        # up to four checkpoints, one combined results .mat
+        if host_index != 0:
+            return 0
+        from multi_modal_regression_tpu.train.analysis import (
+            parse_analysis_runs,
+            run_joint_analysis,
+            save_analysis_mat,
+        )
+
+        if not hasattr(trainer.model, "analysis"):
+            raise SystemExit(
+                f"--analysis needs a joint BD preset (model_kind joint_bd_*)"
+                f", not {cfg.model_kind!r}"
+            )
+        runs = parse_analysis_runs(
+            args.checkpoint.split(","),
+            args.analysis_names.split(",") if args.analysis_names else None,
+        )
+        centers = getattr(dictionary, "cluster_centers", None)
+        if centers is None:
+            centers = dictionary.means
+        test = _make_test_loader(
+            args, cfg, _classes_from_args(args),
+            cfg.device_resize_from or cfg.image_size, host_count, host_index,
+        )
+        results = {}
+        for name, ckpt in runs:
+            state = trainer.restore_checkpoint(ckpt)
+            r = run_joint_analysis(trainer, state, test, centers)
+            results[name] = r
+            acc = float((r["ypred_cat"] == r["ytrue_cat"]).mean())
+            print(f"{name}: cat acc {acc:.4f} over {len(r['ytrue_cat'])} "
+                  f"samples", flush=True)
+        out = Path(workdir) / f"results_{args.save_str}_analysis.mat"
+        save_analysis_mat(out, results)
+        print(f"wrote {out}", flush=True)
+        return 0
+
     state = trainer.restore_checkpoint(args.checkpoint)
 
     if args.det_path:
@@ -634,10 +674,15 @@ def cmd_predict(args) -> int:
             save_results_mat,
         )
 
+        from multi_modal_regression_tpu.train.presets import (
+            resolve_compute_dtype,
+        )
+
         index = DetectionSetIndex(args.det_path)
         bboxes, ypred, labels, _scores = run_detection_inference(
             trainer.apply_fn, trainer.problem, state, index,
             batch_size=cfg.eval_batch,
+            compute_dtype=resolve_compute_dtype(cfg.compute_dtype),
         )
         det_name = Path(args.det_path).name
         out = Path(workdir) / f"results_{args.save_str}_{det_name}.mat"
@@ -974,6 +1019,15 @@ def main(argv=None) -> int:
     p_pred.add_argument("--checkpoint", type=str, default="final")
     p_pred.add_argument("--det-path", type=str, default=None,
                         help="detector crop set (dbinfo.mat + all/*.mat)")
+    p_pred.add_argument("--analysis", action="store_true",
+                        help="joint-model analysis protocol "
+                             "(evaluateJointModel[2].py): per-class pose "
+                             "decodes + category argmax per checkpoint; "
+                             "--checkpoint takes a comma list (up to four: "
+                             "pose,cat,top1,wgt)")
+    p_pred.add_argument("--analysis-names", type=str, default=None,
+                        help="comma list naming the --checkpoint entries "
+                             "(default pose,cat,top1,wgt order)")
     _add_common_data_args(p_pred, required_data_root=False)
     _add_distributed_args(p_pred)
     _add_config_overrides(p_pred)

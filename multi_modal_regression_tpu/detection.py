@@ -24,6 +24,7 @@ from pathlib import Path
 from typing import Callable, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from multi_modal_regression_tpu.data.loader import normalize_images
@@ -90,14 +91,19 @@ def run_detection_inference(
     state: TrainState,
     index: DetectionSetIndex,
     batch_size: int = 64,
+    compute_dtype=None,
 ) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
     """Per-image (bboxes_raw, ypred, labels, scores) lists over a detection
     set. bboxes_raw keeps the stored columns (incl. the score column when
-    present) so saved results match the reference layout."""
+    present) so saved results match the reference layout.
+
+    compute_dtype mirrors make_eval_step's: the normalize emits the model's
+    compute dtype directly (None = the f32 default; float64 feeds the x64
+    dynamics-parity harness full-precision pixels)."""
 
     @jax.jit
     def _predict(xdata, label):
-        images = normalize_images(xdata)
+        images = normalize_images(xdata, dtype=compute_dtype or jnp.float32)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         outputs = apply_fn(variables, images, label, False)
         return problem.decode(outputs)

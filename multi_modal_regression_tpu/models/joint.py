@@ -160,6 +160,42 @@ class JointCatPoseBDModel(nn.Module):
             residual = mix_heads(deltas, w)
         return cat_logits, scores, residual
 
+    def analysis(
+        self, x: jax.Array, train: bool = False
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """The evaluateJointModel.py wrapper forward (:82-104): category
+        logits plus PER-CLASS bin-and-delta outputs — the offline analysis
+        protocol decodes one pose per (sample, class), independent of the
+        mixing mode (the script runs the same forward for all four
+        checkpoints). Returns (cat_logits (B, C), per-class bin scores
+        (B, C, K), per-class residuals (B, C, D)); multires residuals are
+        selected by each class's OWN bin argmax (:92-98). Decode as
+        centers[argmax(scores, -1)] + residuals (train.analysis)."""
+        feat = self.feature_model(x, train=train)
+        cat_logits = self.fc(feat, train=train)
+        per_head = self.bin_models(feat, train=train)  # (B, C, K)
+        deltas = self.res_models(feat, train=train)
+        return cat_logits, per_head, _per_class_residuals(
+            deltas, per_head, self.multires, self.num_classes,
+            self.num_clusters, self.ndim,
+        )
+
+
+def _per_class_residuals(
+    deltas: jax.Array, per_head: jax.Array, multires: bool,
+    num_classes: int, num_clusters: int, ndim: int,
+) -> jax.Array:
+    """(B, C, D) per-class residuals for the analysis protocol; for
+    multires banks ((B, C*K, D) stacked per class x cluster), each class's
+    delta is the one at that class's own bin argmax
+    (evaluateJointModel.py:89-98)."""
+    if not multires:
+        return deltas
+    b = deltas.shape[0]
+    deltas = deltas.reshape(b, num_classes, num_clusters, ndim)
+    ind = jnp.argmax(per_head, axis=-1)  # (B, C)
+    return jnp.take_along_axis(deltas, ind[..., None, None], axis=2)[:, :, 0]
+
 
 class JointCatPoseBDModel2(nn.Module):
     """Variant 2: shared stage-1..3 trunk; pose branch = oracle layer4;
@@ -242,6 +278,24 @@ class JointCatPoseBDModel2(nn.Module):
         else:
             residual = mix_heads(deltas, w)
         return cat_logits, scores, residual
+
+    def analysis(
+        self, x: jax.Array, train: bool = False
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """The evaluateJointModel2.py wrapper forward (:85-115) under the
+        runnable layer3-split construction (see the class docstring): the
+        category branch reads the shared trunk through its own stage-4
+        copy, the pose branch decodes per class — same analysis outputs as
+        JointCatPoseBDModel.analysis."""
+        trunk = self.feature_trunk(x, train=train)
+        cat_logits = self.fc(self.category_stage(trunk, train=train), train=train)
+        feat = self.pose_stage(trunk, train=train)
+        per_head = self.bin_models(feat, train=train)
+        deltas = self.res_models(feat, train=train)
+        return cat_logits, per_head, _per_class_residuals(
+            deltas, per_head, self.multires, self.num_classes,
+            self.num_clusters, self.ndim,
+        )
 
 
 class JointCatPoseRegModel(nn.Module):

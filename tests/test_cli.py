@@ -216,6 +216,48 @@ def test_train_data_selection(data_root, dictionary_file, tmp_path):
     assert rc == 0
 
 
+def test_predict_joint_analysis(data_root, dictionary_file, tmp_path):
+    """`predict --analysis`: the evaluateJointModel[2].py protocol — one
+    combined .mat with `<name>_results` structs, per-class pose decodes
+    (B, ndim, num_classes) + category argmax per checkpoint."""
+    import scipy.io as spio
+
+    workdir = tmp_path / "joint_analysis"
+    base = [
+        "--preset", "joint_cat_pose_top1",
+        "--dictionary", str(dictionary_file),
+        "--dict-size", "4",
+        "--workdir", str(workdir),
+        *TINY_OVERRIDES,
+    ]
+    assert main(["train", "--data-root", str(data_root), *base]) == 0
+    assert main([
+        "predict", "--data-root", str(data_root), "--analysis",
+        "--checkpoint", "final,final", "--analysis-names", "pose,top1",
+        *base,
+    ]) == 0
+    files = list(workdir.glob("results_*_analysis.mat"))
+    assert files
+    tmp = spio.loadmat(str(files[0]), squeeze_me=True)
+    assert {"pose_results", "top1_results"} <= set(tmp)
+    r = tmp["pose_results"]
+    ypred_pose = np.asarray(r["ypred_pose"].item())
+    n = len(np.asarray(r["ytrue_cat"].item()).ravel())
+    assert n > 0 and ypred_pose.shape == (n, 3, 12)
+    # the two runs restored the same checkpoint -> identical dumps
+    np.testing.assert_array_equal(
+        ypred_pose, np.asarray(tmp["top1_results"]["ypred_pose"].item())
+    )
+    # non-joint presets refuse the flag loudly
+    with pytest.raises(SystemExit):
+        main([
+            "predict", "--data-root", str(data_root), "--analysis",
+            "--checkpoint", "final",
+            "--preset", "geodesic_bd", "--dictionary", str(dictionary_file),
+            "--dict-size", "4", "--workdir", str(workdir), *TINY_OVERRIDES,
+        ])
+
+
 def test_predict_from_checkpoint(data_root, dictionary_file, tmp_path):
     workdir = tmp_path / "pred_run"
     base = [
