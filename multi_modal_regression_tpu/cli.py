@@ -617,6 +617,7 @@ def cmd_predict(args) -> int:
         if host_index != 0:
             return 0
         from multi_modal_regression_tpu.train.analysis import (
+            analysis_report,
             parse_analysis_runs,
             run_joint_analysis,
             save_analysis_mat,
@@ -643,9 +644,13 @@ def cmd_predict(args) -> int:
             state = trainer.restore_checkpoint(ckpt)
             r = run_joint_analysis(trainer, state, test, centers)
             results[name] = r
-            acc = float((r["ypred_cat"] == r["ytrue_cat"]).mean())
-            print(f"{name}: cat acc {acc:.4f} over {len(r['ytrue_cat'])} "
-                  f"samples", flush=True)
+            rep = analysis_report(r, cfg.num_classes)
+            print(f"{name}: cat acc {rep['cat_acc']:.4f} | "
+                  f"MedErr oracle {rep['mederr_oracle']:.2f} deg "
+                  f"(Acc@30 {rep['acc30_oracle']:.1f}%) | "
+                  f"pred-cat {rep['mederr_predcat']:.2f} deg "
+                  f"(Acc@30 {rep['acc30_predcat']:.1f}%) | "
+                  f"{len(r['ytrue_cat'])} samples", flush=True)
         out = Path(workdir) / f"results_{args.save_str}_analysis.mat"
         save_analysis_mat(out, results)
         print(f"wrote {out}", flush=True)

@@ -87,6 +87,37 @@ def run_joint_analysis(trainer, state, test_loader, centers) -> dict:
     }
 
 
+def analysis_report(result: dict, num_classes: int) -> dict:
+    """The offline numbers the reference computes from its analysis .mat in
+    MATLAB (computeGeodesicError.m over `ypred_pose(:, :, class)` slices +
+    the category accuracy): mean-class cat accuracy, and the pose MedErr /
+    Acc@30 under both class selections — the ORACLE pose (true class, the
+    script's 'pose' checkpoint protocol) and the pose at the PREDICTED
+    category (the joint protocol the paper reports)."""
+    from multi_modal_regression_tpu.metrics.pose_error import (
+        mean_class_accuracy,
+        per_class_report,
+    )
+
+    ytrue_cat = np.asarray(result["ytrue_cat"]).ravel()
+    ypred_cat = np.asarray(result["ypred_cat"]).ravel()
+    ypose = np.asarray(result["ypred_pose"])  # (N, D, C)
+    ytrue = np.asarray(result["ytrue_pose"])
+    idx = np.arange(len(ytrue_cat))
+    out = {
+        "cat_acc": mean_class_accuracy(ytrue_cat, ypred_cat, num_classes),
+    }
+    for sel, cats in (("oracle", ytrue_cat), ("predcat", ypred_cat)):
+        yhat = ypose[idx, :, cats]
+        # per_class_report groups by TRUE class (absent classes skipped,
+        # like mean_class_accuracy); the mean row is the headline pair
+        table = per_class_report(ytrue, yhat, ytrue_cat,
+                                 list(range(num_classes)))
+        out[f"mederr_{sel}"] = table["mean"]["median_err_deg"]
+        out[f"acc30_{sel}"] = table["mean"]["acc_30deg"]
+    return out
+
+
 def save_analysis_mat(path: str | Path, results: dict[str, dict]) -> None:
     """Write the reference's combined analysis file: one struct per run
     keyed `<name>_results` (evaluateJointModel.py:160-161 writes

@@ -80,6 +80,32 @@ class TestPoseErrors:
         ypred = np.array([0, 1, 1, 1])
         np.testing.assert_allclose(mean_class_accuracy(ytrue, ypred, 2), 0.75)
 
+    def test_analysis_report(self):
+        """analysis_report computes the MATLAB-offline numbers from the
+        joint-analysis dump: the oracle selection reads each sample's pose
+        at its TRUE class, pred-cat at the predicted class."""
+        from multi_modal_regression_tpu.train.analysis import analysis_report
+
+        # 4 samples, 2 classes; per-class poses differ so the selection
+        # channel is observable: class-0 heads are exact, class-1 heads
+        # are 20 deg off about z
+        ypose = np.zeros((4, 3, 2))
+        ypose[:, 2, 1] = np.radians(20)
+        result = {
+            "ytrue_cat": np.array([0, 0, 1, 1]),
+            "ypred_cat": np.array([0, 1, 1, 1]),  # sample 1 misclassified
+            "ytrue_pose": np.zeros((4, 3)),
+            "ypred_pose": ypose,
+        }
+        rep = analysis_report(result, 2)
+        np.testing.assert_allclose(rep["cat_acc"], 0.75)
+        # oracle: class 0 -> 0 deg, class 1 -> 20 deg; mean-class median 10
+        np.testing.assert_allclose(rep["mederr_oracle"], 10.0, atol=1e-6)
+        assert rep["acc30_oracle"] == 100.0
+        # pred-cat: sample 1 decodes the class-1 head (20 deg) instead
+        np.testing.assert_allclose(rep["mederr_predcat"], 15.0, atol=1e-6)
+        assert rep["acc30_predcat"] == 100.0
+
 
 class TestDetection:
     def test_box_overlap_identity(self):
