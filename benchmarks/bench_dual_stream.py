@@ -8,6 +8,10 @@ costs vs the single-forward concat at the same total batch: two 48-image
 forward/backward passes chained through the BN running-stat EMA instead of
 one 96-image pass.
 
+Round-5 addition: the fused execution of the SAME per-stream semantics
+(steps._fused_dual_stream_apply — one vmapped full-batch forward, EMA chain
+composed algebraically) measured against the literal sequential form.
+
 Usage: python benchmarks/bench_dual_stream.py
 """
 
@@ -29,8 +33,10 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 40
 
 
-def bench(dual: bool, rng) -> dict:
-    trainer, state, batch = setup_flagship(BATCH, rng=rng)
+def bench(dual: bool, rng, fused: bool = True) -> dict:
+    trainer, state, batch = setup_flagship(
+        BATCH, rng=rng, bn_stream_fused=fused
+    )
     step_fn = trainer.train_step_fn("main", dual_stream=dual)
     for _ in range(WARMUP_STEPS):
         state, metrics = step_fn(state, batch)
@@ -42,6 +48,7 @@ def bench(dual: bool, rng) -> dict:
     dt = time.perf_counter() - t0
     return {
         "dual_stream": dual,
+        "impl": ("fused" if fused else "sequential") if dual else "single",
         "img_per_sec": round(MEASURE_STEPS * BATCH / dt, 1),
         "ms_per_step": round(1000.0 * dt / MEASURE_STEPS, 2),
         "loss_final": round(loss, 4),
@@ -50,8 +57,11 @@ def bench(dual: bool, rng) -> dict:
 
 def main() -> None:
     rng = np.random.default_rng(0)
-    for dual in (False, True):
-        print(json.dumps(bench(dual, rng)), flush=True)
+    print(json.dumps(bench(False, rng)), flush=True)
+    # the literal two-forward protocol vs the vmapped fused execution of
+    # the same semantics (steps._fused_dual_stream_apply)
+    print(json.dumps(bench(True, rng, fused=False)), flush=True)
+    print(json.dumps(bench(True, rng, fused=True)), flush=True)
 
 
 if __name__ == "__main__":

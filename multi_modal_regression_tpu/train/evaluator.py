@@ -148,6 +148,7 @@ class SnapshotEnsembleEvaluator:
                     and not cfg.frozen_bn
                 ),
                 dual_loss_sum=cfg.loss_stream_sum,
+                dual_stream_fused=cfg.bn_stream_fused,
             ),
             donate_argnums=(0,),
         )

@@ -91,6 +91,12 @@ class ExperimentConfig:
     # (learnGeodesicBDModel.py:116-121). Single-loader runs are unaffected.
     # False = one forward over the concatenated batch (shared BN stats).
     bn_per_stream: bool = True
+    # execution strategy for bn_per_stream (same semantics either way):
+    # True = one vmapped forward over the stream axis with the two EMA
+    # updates composed algebraically (full-batch conv pipelines — measured
+    # faster, steps._fused_dual_stream_apply); False = the literal two
+    # sequential half-batch forwards. Identical up to ~1-ulp EMA rounding.
+    bn_stream_fused: bool = True
     # the regression/classification/ablation scripts compute each stream's
     # loss separately and SUM them (loss_real + loss_render,
     # learnGeodesicRegressionModel.py:138) — on equal halves exactly a

@@ -30,6 +30,54 @@ from multi_modal_regression_tpu.train.state import TrainState
 
 ApplyFn = Callable[..., Any]
 
+# Every BatchNorm in the package carries torch's default running-stat decay
+# (flax momentum 0.9): models/backbones.py:_bn, models/heads.py, and the
+# fused-path _BNState all pin momentum=0.9. The fused dual-stream EMA
+# composition below relies on this single value; test_dual_stream_fused
+# certifies the composition against the literal two-forward chain.
+_BN_MOMENTUM = 0.9
+
+
+def _fused_dual_stream_apply(apply_fn: ApplyFn, variables, images, labels):
+    """The reference's two-forward dual-loader protocol in ONE forward.
+
+    Semantics being reproduced (learnGeodesicBDModel.py:116-121): every
+    dual-loader script calls model(real) then model(render) — train-mode
+    BatchNorm normalizes each stream by its OWN batch statistics, and the
+    running stats take two sequential EMA updates per step (real first).
+    Because train-mode BN never READS the running stats, the two forwards
+    are data-independent; only the EMA chain links them. So:
+
+      * the forward runs as ONE vmapped apply over a leading (real, render)
+        stream axis — XLA's conv batching collapses the vmap axis into the
+        batch, so the trunk runs full-batch conv pipelines (the whole point:
+        two half-batch convs tile the MXU ~7% worse, BASELINE.md round 5)
+        while the BN reductions stay per-stream;
+      * the sequential EMA chain is recovered algebraically. vmap gives each
+        stream's update from the SAME base r: mut_i = m*r + (1-m)*u_i.
+        The reference's chain is r_b = m*r_a + (1-m)*u_b with r_a = mut_a,
+        i.e. r_b = mut_b + m*(mut_a - r). Exact in exact arithmetic for
+        every leaf (including eval-mode/frozen BNs, where mut_i == r and
+        the formula returns r unchanged); differs from the literal chain
+        only in rounding order, ~1 ulp of the running stat.
+
+    Returns (outputs concatenated real-then-render, composed batch_stats).
+    """
+    n = images.shape[0] // 2
+    imgs2 = images.reshape((2, n) + images.shape[1:])
+    lbls2 = labels.reshape((2, n) + labels.shape[1:])
+    out2, mut2 = jax.vmap(
+        lambda im, lb: apply_fn(variables, im, lb, True)
+    )(imgs2, lbls2)
+    outputs = jax.tree.map(lambda a: a.reshape((2 * n,) + a.shape[2:]), out2)
+    m = _BN_MOMENTUM
+    new_bs = jax.tree.map(
+        lambda ab, r: ab[1] + m * (ab[0] - r),
+        mut2["batch_stats"],
+        variables["batch_stats"],
+    )
+    return outputs, new_bs
+
 
 def _preprocess(batch: dict, resize_to: int | None, dtype=None) -> jax.Array:
     """uint8 batch -> normalized images; with resize_to set, raw-size
@@ -68,6 +116,7 @@ def make_train_step(
     frozen_bn: bool = False,
     dual_stream_bn: bool = False,
     dual_loss_sum: bool = False,
+    dual_stream_fused: bool = True,
 ):
     """Build a jit-able train step for (model, problem, optimizer, phase).
 
@@ -80,6 +129,11 @@ def make_train_step(
     render — and the losses still see the concatenated outputs, like the
     reference's torch.cat before the loss (:122-127). Off (default) the
     whole batch shares one forward — the single-loader semantics.
+    dual_stream_fused picks the execution strategy for the same semantics:
+    True (default) runs one vmapped forward over the stream axis with the
+    EMA chain composed algebraically (_fused_dual_stream_apply — full-batch
+    conv pipelines, measured faster); False runs the literal two sequential
+    half-batch forwards. Identical up to reduction-order rounding.
 
     dual_loss_sum=True models the scripts that compute each stream's loss
     separately and SUM them (`loss = loss_real + loss_render`,
@@ -157,6 +211,17 @@ def make_train_step(
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
+
+            def _finish(lc, lr, new_bs):
+                if balance is None:
+                    # loss_scale = 2 models the stream-sum scripts'
+                    # loss_real + loss_render (== 2 * concat mean)
+                    lc_s, lr_s = loss_scale * lc, loss_scale * lr
+                    loss = lc_s + alpha * lr_s
+                    return loss, (lc_s, lr_s, state.s, new_bs)
+                loss, s_next = self_balanced(lc, lr, state.s, mode=balance)
+                return loss, (lc, lr, s_next, new_bs)
+
             if frozen_bn:
                 outputs = apply_fn(variables, images, batch["label"], False)
                 new_bs = state.batch_stats
@@ -167,6 +232,12 @@ def make_train_step(
                         "real/render halves from _interleave), got "
                         f"{images.shape[0]}"
                     )
+                if dual_stream_fused:
+                    outputs, new_bs = _fused_dual_stream_apply(
+                        apply_fn, variables, images, batch["label"]
+                    )
+                    lc, lr = loss_pair(outputs, tg)
+                    return _finish(lc, lr, new_bs)
                 n = images.shape[0] // 2
                 out_a, mut_a = apply_fn(
                     variables, images[:n], batch["label"][:n], True,
@@ -189,15 +260,7 @@ def make_train_step(
                 )
                 new_bs = mutated["batch_stats"]
             lc, lr = loss_pair(outputs, tg)
-            if balance is None:
-                # loss_scale = 2 models the stream-sum scripts'
-                # loss_real + loss_render (== 2 * concat mean)
-                lc, lr = loss_scale * lc, loss_scale * lr
-                loss = lc + alpha * lr
-                s_next = state.s
-            else:
-                loss, s_next = self_balanced(lc, lr, state.s, mode=balance)
-            return loss, (lc, lr, s_next, new_bs)
+            return _finish(lc, lr, new_bs)
 
         loss_fn_used = (
             jax.checkpoint(loss_fn, policy=policy)

@@ -146,6 +146,7 @@ class Trainer:
                     alpha=cfg.alpha if phase == "main" else cfg.warmup_alpha,
                     dual_stream_bn=True,
                     dual_loss_sum=cfg.loss_stream_sum,
+                    dual_stream_fused=cfg.bn_stream_fused,
                     **self._step_kwargs,
                 ),
                 donate_argnums=(0,),
