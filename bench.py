@@ -6,6 +6,15 @@ dict_size=200, effective batch 96 x 224x224 — learnGeodesicBDModel.py:78-92)
 with the full compiled train step (normalize + targets + forward + geodesic
 loss + backward + Adam + BN stats + self-balance) and synthetic input batches.
 
+The headline `value` is the REFERENCE-EXACT dual-loader protocol — the
+script forwards its real and render loaders separately (per-stream
+train-BN statistics, two sequential running-stat EMA updates/step,
+learnGeodesicBDModel.py:116-121), which Trainer.fit compiles whenever a
+render loader is present (fused vmapped execution, steps.py). The
+single-forward concat step — the headline of rounds 1-4, kept for
+cross-round comparability — is reported alongside as
+`single_forward_img_per_sec`.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
@@ -106,21 +115,26 @@ def main() -> None:
     }
     batch = trainer.shard_batch(batch)
 
-    step_fn = trainer.train_step_fn("main")
-    for _ in range(warmup_steps):
-        state, metrics = step_fn(state, batch)
-    float(metrics["loss"])  # host fetch: block_until_ready does not
-    # synchronize through the TPU tunnel; a D2H copy does
+    def measure(dual_stream: bool, state):
+        step_fn = trainer.train_step_fn("main", dual_stream=dual_stream)
+        for _ in range(warmup_steps):
+            state, metrics = step_fn(state, batch)
+        float(metrics["loss"])  # host fetch: block_until_ready does not
+        # synchronize through the TPU tunnel; a D2H copy does
+        t0 = time.perf_counter()
+        for _ in range(measure_steps):
+            state, metrics = step_fn(state, batch)
+        # the state is donated and chained, so fetching the last step's
+        # loss waits for the whole sequence
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        return measure_steps * batch_size / dt, state
 
-    t0 = time.perf_counter()
-    for _ in range(measure_steps):
-        state, metrics = step_fn(state, batch)
-    # the state is donated and chained, so fetching the last step's loss
-    # waits for the whole sequence
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
-
-    images_per_sec = measure_steps * batch_size / dt
+    # single-forward concat step first (the rounds-1-4 headline), then the
+    # reference-exact dual-loader protocol (per-stream BN, fused) as the
+    # headline; the state is donated through both.
+    single_img_per_sec, state = measure(False, state)
+    images_per_sec, state = measure(True, state)
     # the exact-BN bandwidth floor for this config is ~23 GB/step on the
     # 819 GB/s v5e HBM => ~3350 img/s at 100% efficiency (BASELINE.md
     # round-2 analysis); report the fraction attained alongside the
@@ -135,6 +149,11 @@ def main() -> None:
                 "vs_baseline": round(
                     images_per_sec / ESTIMATED_REFERENCE_IMG_PER_SEC, 3
                 ),
+                # headline protocol: the reference script's own dual-loader
+                # two-forward semantics (per-stream BN, fused execution);
+                # the single-forward concat step was the rounds-1-4 headline
+                "protocol": "dual_loader_fused",
+                "single_forward_img_per_sec": round(single_img_per_sec, 1),
                 "fraction_of_bandwidth_floor": round(
                     images_per_sec / BANDWIDTH_FLOOR_IMG_PER_SEC, 3
                 ),
