@@ -139,7 +139,10 @@ def _packed_e2e(bench, timeout_s: float) -> dict:
                     ips.append(rec["images_per_sec"])
         if not ips:  # fall back to the progress line
             ips = [float(v) for v in re.findall(r"\(([\d.]+) img/s\)", out or "")]
-        med = re.findall(r"final MedErr: ([\d.]+)", out or "")
+        # cli.py:481 prints `final {metric_label(med)}` = "final MedErr
+        # 117.582 deg" (no colon since the metric_label refactor); accept
+        # the legacy colon form too so old logs still parse.
+        med = re.findall(r"final MedErr:? ([\d.]+)", out or "")
         return {
             "losses": losses,
             # the final MedErr depends on every training step, so its

@@ -192,13 +192,29 @@ def _config_from_args(args) -> "object":
         # likewise the loaded dictionary defines dict_size unless
         # explicitly overridden — a preset-default 200-head bank against an
         # 8-atom dictionary is a shape error (or worse, silent) downstream
-        d = _load_dictionary(args.dictionary)
+        d = _load_dictionary_cached(args.dictionary)
         if d is not None:
             atoms = getattr(d, "cluster_centers", None)
             if atoms is None:
                 atoms = d.means  # GMMDictionary
             overrides["dict_size"] = int(len(atoms))
     return get_config(args.preset, **overrides)
+
+
+# one read per CLI invocation: _config_from_args sniffs dict_size off the
+# dictionary and each cmd_* then hands the same object to its Trainer —
+# without the cache every run parsed the npz three times. Keyed by the
+# literal path string; cmd_dictionary's write-then-reload sanity check
+# bypasses it on purpose (the file changes under the same path there).
+_DICTIONARY_CACHE: dict = {}
+
+
+def _load_dictionary_cached(path: str | None):
+    if path is None:
+        return None
+    if path not in _DICTIONARY_CACHE:
+        _DICTIONARY_CACHE[path] = _load_dictionary(path)
+    return _DICTIONARY_CACHE[path]
 
 
 def _load_dictionary(path: str | None):
@@ -462,7 +478,7 @@ def cmd_train(args) -> int:
     cfg = _config_from_args(args)
     workdir = args.workdir or f"runs/{args.save_str}"
     trainer = Trainer(
-        cfg, dictionary=_load_dictionary(args.dictionary), workdir=workdir
+        cfg, dictionary=_load_dictionary_cached(args.dictionary), workdir=workdir
     )
     real, render, test = _make_loaders(args, cfg, host_count, host_index)
     if args.resume:
@@ -546,7 +562,7 @@ def _warm_start(trainer, state, args):
     )
     src_trainer = Trainer(
         src_cfg,
-        dictionary=_load_dictionary(args.dictionary),
+        dictionary=_load_dictionary_cached(args.dictionary),
         workdir=args.warm_start_workdir,
     )
     src_state = src_trainer.restore_checkpoint(args.warm_start_checkpoint)
@@ -576,7 +592,7 @@ def cmd_evaluate(args) -> int:
     cfg = _config_from_args(args)
     workdir = args.workdir or f"runs/{args.save_str}"
     trainer = Trainer(
-        cfg, dictionary=_load_dictionary(args.dictionary), workdir=workdir
+        cfg, dictionary=_load_dictionary_cached(args.dictionary), workdir=workdir
     )
     real, render, test = _make_loaders(args, cfg, host_count, host_index)
     state = trainer.restore_checkpoint(args.checkpoint)
@@ -606,16 +622,21 @@ def cmd_predict(args) -> int:
 
     from multi_modal_regression_tpu.train import Trainer
 
+    if args.analysis and args.det_path:
+        raise SystemExit(
+            "--analysis and --det-path are mutually exclusive protocols "
+            "(evaluateJointModel vs evaluateModelDetectedBBoxes); run two "
+            "predict invocations"
+        )
+
     cfg = _config_from_args(args)
     workdir = args.workdir or f"runs/{args.save_str}"
-    dictionary = _load_dictionary(args.dictionary)
+    dictionary = _load_dictionary_cached(args.dictionary)
     trainer = Trainer(cfg, dictionary=dictionary, workdir=workdir)
 
     if args.analysis:
         # evaluateJointModel[2].py: the SAME per-class analysis forward over
         # up to four checkpoints, one combined results .mat
-        if host_index != 0:
-            return 0
         from multi_modal_regression_tpu.train.analysis import (
             analysis_report,
             parse_analysis_runs,
@@ -635,14 +656,32 @@ def cmd_predict(args) -> int:
         centers = getattr(dictionary, "cluster_centers", None)
         if centers is None:
             centers = dictionary.means
-        test = _make_test_loader(
-            args, cfg, _classes_from_args(args),
-            cfg.device_resize_from or cfg.image_size, host_count, host_index,
-        )
         results = {}
+        test = None
+        if host_index == 0:
+            # the analysis stream itself runs on process 0 only, over the
+            # FULL test set (host_count=1: no stride) with a local state
+            # copy — the det-path pattern below
+            test = _make_test_loader(
+                args, cfg, _classes_from_args(args),
+                cfg.device_resize_from or cfg.image_size, 1, 0,
+            )
         for name, ckpt in runs:
+            # checkpoint restore is a collective over the GLOBAL mesh:
+            # EVERY process participates for every checkpoint (non-zero
+            # hosts idle at the next restore while process 0 analyzes)
             state = trainer.restore_checkpoint(ckpt)
-            r = run_joint_analysis(trainer, state, test, centers)
+            if host_index != 0:
+                continue
+            if host_count > 1:
+                import jax
+
+                state = jax.device_put(
+                    jax.device_get(state), jax.local_devices()[0]
+                )
+            r = run_joint_analysis(
+                trainer, state, test, centers, shard=(host_count == 1)
+            )
             results[name] = r
             rep = analysis_report(r, cfg.num_classes)
             print(f"{name}: cat acc {rep['cat_acc']:.4f} | "
@@ -651,6 +690,8 @@ def cmd_predict(args) -> int:
                   f"pred-cat {rep['mederr_predcat']:.2f} deg "
                   f"(Acc@30 {rep['acc30_predcat']:.1f}%) | "
                   f"{len(r['ytrue_cat'])} samples", flush=True)
+        if host_index != 0:
+            return 0
         out = Path(workdir) / f"results_{args.save_str}_analysis.mat"
         save_analysis_mat(out, results)
         print(f"wrote {out}", flush=True)

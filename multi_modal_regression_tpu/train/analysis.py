@@ -59,22 +59,32 @@ def make_analysis_step(model, problem, centers, resize_to=None,
     return step
 
 
-def run_joint_analysis(trainer, state, test_loader, centers) -> dict:
+def run_joint_analysis(trainer, state, test_loader, centers,
+                       shard: bool = True) -> dict:
     """One checkpoint's analysis pass: the reference testing() dict
     {ytrue_cat, ytrue_pose, ypred_cat, ypred_pose} as numpy arrays
-    (evaluateJointModel.py:112-134)."""
+    (evaluateJointModel.py:112-134).
+
+    shard=False runs process-local (state pinned to one local device, plain
+    numpy batches) — the multi-host CLI path, where one process analyzes the
+    full test set; sharding there would build global arrays and hang waiting
+    for peers that are not in this loop."""
+    from multi_modal_regression_tpu.train.presets import resolve_compute_dtype
+
     cfg = trainer.config
     step = jax.jit(
         make_analysis_step(
             trainer.model, trainer.problem, centers,
             resize_to=cfg.image_size if cfg.device_resize_from else None,
-            compute_dtype=trainer._step_kwargs["compute_dtype"],
+            compute_dtype=resolve_compute_dtype(cfg.compute_dtype),
         )
     )
     cats_t, poses_t, cats_p, poses_p = [], [], [], []
     for batch in test_loader:
         valid = batch.pop("valid")
-        tc, tp, pc, pp = step(state, trainer.shard_batch(batch))
+        if shard:
+            batch = trainer.shard_batch(batch)
+        tc, tp, pc, pp = step(state, batch)
         cats_t.append(np.asarray(tc)[valid])
         poses_t.append(np.asarray(tp)[valid])
         cats_p.append(np.asarray(pc)[valid])

@@ -29,7 +29,10 @@ from multi_modal_regression_tpu.data.loader import BalancedLoader, TestLoader
 from multi_modal_regression_tpu.metrics.pose_error import mean_class_median_error
 from multi_modal_regression_tpu.train.schedules import cyclical_sgd, is_snapshot_step
 from multi_modal_regression_tpu.train.state import TrainState
-from multi_modal_regression_tpu.train.steps import make_train_step
+from multi_modal_regression_tpu.train.steps import (
+    make_train_step,
+    validate_dual_stream_layout,
+)
 from multi_modal_regression_tpu.train.trainer import Trainer, _interleave
 
 
@@ -128,6 +131,14 @@ class SnapshotEnsembleEvaluator:
         )
 
         cdtype = resolve_compute_dtype(cfg.compute_dtype)
+        # the evaluate scripts' fine-tune loop is ALSO two-forward
+        # (evaluateGeodesicBDModel.py:112-117): per-stream BN when
+        # fine-tuning from dual loaders, like Trainer.fit
+        use_dual = (
+            render_loader is not None
+            and cfg.bn_per_stream
+            and not cfg.frozen_bn
+        )
         step_fn = jax.jit(
             make_train_step(
                 self.trainer.apply_fn, self.trainer.problem, tx,
@@ -139,14 +150,7 @@ class SnapshotEnsembleEvaluator:
                 compute_dtype=cdtype,
                 remat=cfg.remat,
                 frozen_bn=cfg.frozen_bn,
-                # the evaluate scripts' fine-tune loop is ALSO two-forward
-                # (evaluateGeodesicBDModel.py:112-117): per-stream BN when
-                # fine-tuning from dual loaders, like Trainer.fit
-                dual_stream_bn=(
-                    render_loader is not None
-                    and cfg.bn_per_stream
-                    and not cfg.frozen_bn
-                ),
+                dual_stream_bn=use_dual,
                 dual_loss_sum=cfg.loss_stream_sum,
                 dual_stream_fused=cfg.bn_stream_fused,
             ),
@@ -169,6 +173,8 @@ class SnapshotEnsembleEvaluator:
             if budget is not None and local_step >= budget:
                 break
             for batch in _interleave(real_loader, render_loader):
+                if use_dual:
+                    validate_dual_stream_layout(batch)
                 state, metrics = step_fn(state, self.trainer.shard_batch(batch))
                 if self.record_history:
                     self.history.append(

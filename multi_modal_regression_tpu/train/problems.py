@@ -110,6 +110,15 @@ def objectnet_quaternion_dictionary() -> jax.Array:
     return jnp.asarray(np.stack(atoms), jnp.float32)
 
 
+def _key_rotations_f64(centers) -> jax.Array:
+    """Key rotations exp_so3(centers) precomputed on host at build time,
+    mirroring the reference's startup `rotations_dict` (numpy doubles —
+    learnRiemannianBDModel.py:61, learnLogEuclideanModel.py:58). Computed
+    through f64 so the x64 parity harness gets full-precision keys; a no-op
+    for normal f32 runs, where jnp folds the result back to f32."""
+    return jnp.asarray(np.asarray(exp_so3(np.asarray(centers, np.float64))))
+
+
 def make_problem(
     name: str,
     centers: np.ndarray | None = None,
@@ -360,10 +369,7 @@ def make_problem(
 
     if name == "riemannian":
         C = jnp.asarray(centers, jnp.float32)
-        # host f64 key-rotation precompute, like the reference's startup
-        # rotations_dict (learnRiemannianBDModel.py:61); folds back to f32
-        # unless x64 is active (see log_euclidean below)
-        key_R = jnp.asarray(np.asarray(exp_so3(np.asarray(centers, np.float64))))
+        key_R = _key_rotations_f64(centers)
 
         def targets(y):
             bins, res, R = tangent_residual_targets(y, C, key_R)
@@ -388,12 +394,7 @@ def make_problem(
 
     if name == "log_euclidean":
         C = jnp.asarray(centers, jnp.float32)
-        # key rotations precomputed once at build time, mirroring the
-        # reference's startup `rotations_dict = np.stack([get_R(c) ...])`
-        # (learnLogEuclideanModel.py:58 — numpy doubles there); fed through
-        # f64 so the x64 parity harness gets full-precision keys (a no-op
-        # for normal f32 runs, where jnp folds the input back to f32)
-        key_R = jnp.asarray(np.asarray(exp_so3(np.asarray(centers, np.float64))))
+        key_R = _key_rotations_f64(centers)
 
         def targets(y):
             bins, _ = hard_bin_targets(y, C)

@@ -102,6 +102,23 @@ def _preprocess(batch: dict, resize_to: int | None, dtype=None) -> jax.Array:
     return normalize_images(batch["xdata"], dtype=dtype)
 
 
+def validate_dual_stream_layout(batch: dict) -> None:
+    """Per-stream BN (dual_stream_bn) splits each batch at its midpoint
+    into (real, render) halves; refuse any batch whose `is_real` mask is
+    not exactly [real*n, render*n] — e.g. loaders with different batch
+    sizes — which would silently mix render rows into the real stream's
+    batch statistics. Shared by Trainer.run_epoch and the
+    SnapshotEnsembleEvaluator fine-tune loop."""
+    m = batch["is_real"]
+    half = len(m) // 2
+    if len(m) % 2 or not m[:half].all() or m[half:].any():
+        raise ValueError(
+            "bn_per_stream needs equal real/render halves per step "
+            "(match the two loaders' batch sizes, as the reference does) "
+            f"— got a {int(m.sum())}/{int(len(m) - m.sum())} split"
+        )
+
+
 def make_train_step(
     apply_fn: ApplyFn,
     problem: Problem,

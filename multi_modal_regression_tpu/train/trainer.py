@@ -35,7 +35,11 @@ from multi_modal_regression_tpu.train.presets import (
     make_apply_fn,
 )
 from multi_modal_regression_tpu.train.state import TrainState, create_train_state
-from multi_modal_regression_tpu.train.steps import make_eval_step, make_train_step
+from multi_modal_regression_tpu.train.steps import (
+    make_eval_step,
+    make_train_step,
+    validate_dual_stream_layout,
+)
 
 
 def _interleave(real_loader, render_loader):
@@ -322,15 +326,7 @@ class Trainer:
         images_done = 0
         for batch in _interleave(real_loader, render_loader):
             if use_dual:
-                m = batch["is_real"]
-                half = len(m) // 2
-                if len(m) % 2 or not m[:half].all() or m[half:].any():
-                    raise ValueError(
-                        "bn_per_stream needs equal real/render halves per "
-                        "step (match the two loaders' batch sizes, as the "
-                        "reference does) — got a "
-                        f"{int(m.sum())}/{int(len(m) - m.sum())} split"
-                    )
+                validate_dual_stream_layout(batch)
             batch = self.shard_batch(batch)
             state, metrics = step_fn(state, batch)
             n_steps += 1

@@ -256,6 +256,14 @@ def test_predict_joint_analysis(data_root, dictionary_file, tmp_path):
             "--preset", "geodesic_bd", "--dictionary", str(dictionary_file),
             "--dict-size", "4", "--workdir", str(workdir), *TINY_OVERRIDES,
         ])
+    # --analysis + --det-path is ambiguous (two different protocols):
+    # refuse rather than silently run one of them
+    with pytest.raises(SystemExit):
+        main([
+            "predict", "--data-root", str(data_root), "--analysis",
+            "--det-path", str(tmp_path / "dets"),
+            "--checkpoint", "final", *base,
+        ])
 
 
 def test_predict_from_checkpoint(data_root, dictionary_file, tmp_path):

@@ -496,6 +496,27 @@ def test_evaluator_step_uses_compute_dtype(dataset, centers, monkeypatch):
     assert captured.get("compute_dtype") == jnp.bfloat16
 
 
+def test_evaluator_rejects_mismatched_dual_stream_halves(dataset, centers):
+    """The snapshot evaluator compiles the dual-stream (per-stream BN) step
+    whenever a render loader is present, so it must enforce the same
+    [real*n, render*n] batch layout Trainer.run_epoch does — a mismatched
+    loader pair would silently mix render rows into the real BN stream."""
+    from multi_modal_regression_tpu.train import SnapshotEnsembleEvaluator
+
+    cfg = get_config("geodesic_bd", **TINY)
+    trainer = Trainer(cfg, dictionary=KMeansDictionary(
+        cluster_centers=centers))
+    real, _, test = _loaders(dataset, cfg)
+    render_index = ClassBalancedIndex(str(dataset), "render", classes=CLASSES)
+    render_bigger = BalancedLoader(
+        render_index, cfg.items_per_batch + 1, cfg.image_size, num_workers=2
+    )
+    ev = SnapshotEnsembleEvaluator(trainer, cycle_len=4)
+    state = trainer.init_state()
+    with pytest.raises(ValueError, match="equal real/render halves"):
+        ev.run(state, real, render_bigger, test, num_epochs=1)
+
+
 @pytest.mark.parametrize("mode", ["block", "stage", "conv", "dots", "nothing"])
 def test_remat_modes_match_no_remat(dataset, centers, mode):
     """jax.checkpoint is semantics-exact: every remat policy must produce
